@@ -1,0 +1,113 @@
+"""Reference elements: shape functions and their reference-coordinate gradients.
+
+Shape-function convention follows the reference's FunctionSpace
+(/root/reference/fea_symbolic.cu:234-239): on the triangle
+phi = (r, s, 1-r-s); the affine map is fx = x1*r + x2*s + x3*(1-r-s)
+(fea_symbolic.cu:229-231).  The tetrahedron extends this to
+phi = (r, s, t, 1-r-s-t).
+
+All tables are small numpy constants baked into jitted element kernels at
+trace time — the TPU analogue of the reference's __constant__ memory tables
+(/root/reference/fea_test.cu:28-31).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+__all__ = ["ReferenceElement", "P1Triangle", "P1Tetrahedron", "P2Triangle",
+           "element_for_cell"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ReferenceElement:
+    name: str
+    cell_type: str
+    dim: int
+    num_nodes: int
+    degree: int
+
+    def shape_values(self, points: np.ndarray) -> np.ndarray:
+        """phi_n(q) -> [Q, num_nodes]."""
+        raise NotImplementedError
+
+    def shape_grads(self, points: np.ndarray) -> np.ndarray:
+        """d phi_n / d(ref coords) at q -> [Q, num_nodes, dim]."""
+        raise NotImplementedError
+
+
+class P1Triangle(ReferenceElement):
+    def __init__(self):
+        super().__init__("P1", "triangle", 2, 3, 1)
+
+    def shape_values(self, points):
+        r, s = points[:, 0], points[:, 1]
+        return np.stack([r, s, 1.0 - r - s], axis=1)
+
+    def shape_grads(self, points):
+        q = points.shape[0]
+        g = np.array([[1.0, 0.0], [0.0, 1.0], [-1.0, -1.0]])
+        return np.broadcast_to(g, (q, 3, 2)).copy()
+
+
+class P1Tetrahedron(ReferenceElement):
+    def __init__(self):
+        super().__init__("P1", "tetrahedron", 3, 4, 1)
+
+    def shape_values(self, points):
+        r, s, t = points[:, 0], points[:, 1], points[:, 2]
+        return np.stack([r, s, t, 1.0 - r - s - t], axis=1)
+
+    def shape_grads(self, points):
+        q = points.shape[0]
+        g = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0],
+                      [-1.0, -1.0, -1.0]])
+        return np.broadcast_to(g, (q, 4, 3)).copy()
+
+
+class P2Triangle(ReferenceElement):
+    """Quadratic triangle: 3 vertex DOFs + 3 edge-midpoint DOFs.
+
+    DOF order: vertices (r, s, t directions as in P1), then midpoints of
+    edges (1-2), (2-3), (3-1) — i.e. opposite barycentrics (t, r, s).
+    """
+
+    def __init__(self):
+        super().__init__("P2", "triangle", 2, 6, 2)
+
+    def shape_values(self, points):
+        r, s = points[:, 0], points[:, 1]
+        t = 1.0 - r - s
+        return np.stack([
+            r * (2 * r - 1), s * (2 * s - 1), t * (2 * t - 1),
+            4 * r * s, 4 * s * t, 4 * t * r,
+        ], axis=1)
+
+    def shape_grads(self, points):
+        r, s = points[:, 0], points[:, 1]
+        t = 1.0 - r - s
+        zeros = np.zeros_like(r)
+        # d/dr, d/ds with dt/dr = dt/ds = -1
+        dr = np.stack([
+            4 * r - 1, zeros, -(4 * t - 1),
+            4 * s, -4 * s, 4 * (t - r),
+        ], axis=1)
+        ds = np.stack([
+            zeros, 4 * s - 1, -(4 * t - 1),
+            4 * r, 4 * (t - s), -4 * r,
+        ], axis=1)
+        return np.stack([dr, ds], axis=2)  # [Q, 6, 2]
+
+
+def element_for_cell(cell_type: str, degree: int = 1) -> ReferenceElement:
+    table = {
+        ("triangle", 1): P1Triangle,
+        ("triangle", 2): P2Triangle,
+        ("tetrahedron", 1): P1Tetrahedron,
+    }
+    try:
+        return table[(cell_type, degree)]()
+    except KeyError:
+        raise NotImplementedError(
+            f"element of degree {degree} on {cell_type}") from None

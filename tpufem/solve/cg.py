@@ -1,0 +1,80 @@
+"""(Preconditioned) conjugate gradients, jit-compiled with lax.while_loop.
+
+The reference assembles a stiffness matrix and stops — no solver exists
+(SURVEY.md §0).  This CG is the framework's workhorse:
+
+  * operator-agnostic: ``matvec`` may be a dense matmul, an ELL SpMV, a
+    Pallas stencil kernel, or a matrix-free element loop;
+  * convergence guards (SURVEY.md §5 "failure detection"): NaN/Inf residuals
+    terminate with ``diverged=True`` instead of spinning to maxiter;
+  * distributed-ready: all reductions are jnp dots, so under shard_map or
+    pjit they lower to XLA ``psum`` collectives over ICI automatically.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["CGResult", "cg"]
+
+
+class CGResult(NamedTuple):
+    x: jax.Array
+    iterations: jax.Array      # int32
+    residual_norm: jax.Array   # final ||r|| / ||b||
+    converged: jax.Array       # bool
+    diverged: jax.Array        # bool (NaN/Inf detected)
+
+
+def cg(matvec: Callable, b, x0=None, *, tol: float = 1e-8,
+       maxiter: int = 1000, M: Optional[Callable] = None) -> CGResult:
+    """Solve A x = b with (preconditioned) CG.
+
+    matvec: x -> A x (A symmetric positive definite).
+    M:      optional preconditioner application r -> M^-1 r.
+    tol:    relative tolerance on ||r||_2 / ||b||_2.
+
+    Supports warm restart: pass ``x0`` (e.g. a checkpointed iterate).
+    """
+    if M is None:
+        M = lambda r: r
+
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    b_norm = jnp.linalg.norm(b)
+    # Guard b == 0: solution is 0, avoid division by zero.
+    safe_b_norm = jnp.where(b_norm > 0, b_norm, 1)
+    atol = tol * safe_b_norm
+
+    r0 = b - matvec(x0)
+    z0 = M(r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0)
+
+    def not_done(state):
+        _, r, _, _, rz, k, bad = state
+        rnorm = jnp.linalg.norm(r)
+        return (rnorm > atol) & (k < maxiter) & (~bad)
+
+    def step(state):
+        x, r, z, p, rz, k, bad = state
+        Ap = matvec(p)
+        pAp = jnp.vdot(p, Ap)
+        alpha = rz / pAp
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        bad = ~jnp.isfinite(rz_new) | ~jnp.isfinite(pAp) | (pAp <= 0)
+        return (x, r, z, p, rz_new, k + 1, bad)
+
+    init = (x0, r0, z0, p0, rz0, jnp.int32(0), jnp.asarray(False))
+    x, r, _, _, _, k, bad = jax.lax.while_loop(not_done, step, init)
+
+    rnorm = jnp.linalg.norm(r) / safe_b_norm
+    converged = (rnorm <= tol) & (~bad)
+    return CGResult(x=x, iterations=k, residual_norm=rnorm,
+                    converged=converged, diverged=bad)

@@ -1,0 +1,123 @@
+"""High-level Poisson drivers — the framework's flagship problem.
+
+The reference's implied model problem (SURVEY.md §0):
+    -Δu = 36 - 2(x² + y²)   on (-3, 3)²,   u = 0 on the boundary,
+with manufactured solution u = (9 - x²)(9 - y²)
+(/root/reference/fea_symbolic.cu:494-498).  The 3D extension used for the
+1M-DOF benchmark (BASELINE.md config 3) is the analogous separable problem on
+(-3, 3)³.
+
+These drivers run the full pipeline the reference never finished: element
+stiffness -> global assembly (dense or ELL) -> Dirichlet BC -> (P)CG solve.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpufem.assemble.dense import assemble_dense, assemble_vector
+from tpufem.assemble.ell import assemble_ell
+from tpufem.assemble.local import element_load, p1_stiffness
+from tpufem.fem.quadrature import rule_for_cell
+from tpufem.fem.space import FunctionSpace
+from tpufem.mesh.adjacency import ell_pattern
+from tpufem.mesh.core import Mesh
+from tpufem.solve.bc import apply_dirichlet_dense, apply_dirichlet_ell
+from tpufem.solve.cg import CGResult, cg
+from tpufem.solve.precond import jacobi
+
+__all__ = [
+    "model_problem_2d", "model_problem_3d", "PoissonSolution",
+    "solve_poisson_dense", "solve_poisson_ell",
+]
+
+
+class PoissonSolution(NamedTuple):
+    u: jax.Array
+    cg: CGResult
+    num_dofs: int
+
+
+# -- the reference model problem --------------------------------------------
+
+def model_problem_2d():
+    """(f, exact) for -Δu = f on (-3,3)², u = 0 on the boundary."""
+
+    def f(x):
+        return 36.0 - 2.0 * (x[..., 0] ** 2 + x[..., 1] ** 2)
+
+    def exact(x):
+        return (9.0 - x[..., 0] ** 2) * (9.0 - x[..., 1] ** 2)
+
+    return f, exact
+
+
+def model_problem_3d():
+    """Separable 3D analogue on (-3,3)³: u = Π(9 - x_d²)."""
+
+    def exact(x):
+        return ((9.0 - x[..., 0] ** 2) * (9.0 - x[..., 1] ** 2)
+                * (9.0 - x[..., 2] ** 2))
+
+    def f(x):
+        x0, x1, x2 = x[..., 0], x[..., 1], x[..., 2]
+        return 2.0 * ((9.0 - x1 ** 2) * (9.0 - x2 ** 2)
+                      + (9.0 - x0 ** 2) * (9.0 - x2 ** 2)
+                      + (9.0 - x0 ** 2) * (9.0 - x1 ** 2))
+
+    return f, exact
+
+
+# -- drivers -----------------------------------------------------------------
+
+def _rhs_and_bc(space: FunctionSpace, ecoords, f: Callable, rule, dtype):
+    be = element_load(ecoords, space.element, rule, f)
+    b = assemble_vector(space.dof_conn, be, space.num_dofs)
+    bc_mask = jnp.asarray(space.dof_flags)
+    return b, bc_mask
+
+
+def solve_poisson_dense(mesh: Mesh, f: Optional[Callable] = None, *,
+                        dtype=jnp.float64, tol: float = 1e-10,
+                        maxiter: int = 10_000) -> PoissonSolution:
+    """Dense-path solve (small meshes / golden tests; BASELINE config 1)."""
+    if f is None:
+        f = model_problem_2d()[0] if mesh.dim == 2 else model_problem_3d()[0]
+    space = FunctionSpace(mesh, degree=1)
+    rule = rule_for_cell(mesh.cell_type, 5 if mesh.dim == 2 else 3)
+    ecoords = jnp.asarray(mesh.element_coords(), dtype)
+
+    Ke = p1_stiffness(ecoords, space.element)
+    A = assemble_dense(space.dof_conn, Ke, space.num_dofs)
+    b, bc_mask = _rhs_and_bc(space, ecoords, f, rule, dtype)
+    A, b = apply_dirichlet_dense(A, b, bc_mask)
+    res = cg(lambda x: A @ x, b, tol=tol, maxiter=maxiter)
+    return PoissonSolution(u=res.x, cg=res, num_dofs=space.num_dofs)
+
+
+def solve_poisson_ell(mesh: Mesh, f: Optional[Callable] = None, *,
+                      dtype=jnp.float64, tol: float = 1e-8,
+                      maxiter: int = 10_000, precondition: bool = True,
+                      assembly_method: str = "scatter",
+                      pad_to: Optional[int] = None) -> PoissonSolution:
+    """ELL-path solve: the scalable single-chip pipeline (configs 2-3)."""
+    if f is None:
+        f = model_problem_2d()[0] if mesh.dim == 2 else model_problem_3d()[0]
+    space = FunctionSpace(mesh, degree=1)
+    rule = rule_for_cell(mesh.cell_type, 5 if mesh.dim == 2 else 3)
+    ecoords = jnp.asarray(mesh.element_coords(), dtype)
+    if pad_to is None:
+        pad_to = 8 if mesh.dim == 2 else 16
+    pattern = ell_pattern(space.dof_conn, space.num_dofs, pad_to=pad_to)
+
+    Ke = p1_stiffness(ecoords, space.element)
+    A = assemble_ell(pattern, Ke, method=assembly_method)
+    b, bc_mask = _rhs_and_bc(space, ecoords, f, rule, dtype)
+    A, b = apply_dirichlet_ell(A, b, bc_mask)
+    M = jacobi(A) if precondition else None
+    res = cg(A.matvec, b, tol=tol, maxiter=maxiter, M=M)
+    return PoissonSolution(u=res.x, cg=res, num_dofs=space.num_dofs)
