@@ -1,0 +1,284 @@
+"""WeakForm: user lambdas -> jit-traced element kernels -> assembled systems.
+
+API parity with the reference (/root/reference/fea_symbolic.cu:503-506):
+
+    V  = FunctionSpace(mesh, degree=1)
+    x, y = SpatialCoordinate(V), ...   # components via indexing
+    wf = WeakForm(V)
+    wf.build(lambda u, v: dot(grad(u), grad(v)),
+             lambda v: f * v)
+    A, b = wf.assemble(format="ell")
+
+The reference realizes ``build`` by symbolic differentiation, substitution of
+the affine map, C-source emission into a $integrandIJ$ template, and NVRTC
+compilation (/root/reference/fea_symbolic_nvrtc.cpp:307-356,501-543).  Here
+``build`` stores the expression trees and evaluation happens inside
+``jax.jit``: all (trial, test) basis pairs are evaluated *simultaneously* by
+broadcasting over leading axes [A(trial), B(test), NE, Q], then contracted
+against quadrature weights and |det J| in one einsum — the entire "runtime
+codegen + JIT" pipeline collapses into one XLA trace (SURVEY.md §7).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from tpufem.assemble.dense import assemble_dense, assemble_vector
+from tpufem.assemble.ell import assemble_ell
+from tpufem.assemble.local import _inv_and_det
+from tpufem.fem.quadrature import QuadratureRule, rule_for_cell
+from tpufem.fem.space import FunctionSpace
+from tpufem.forms.language import Expr, TestFunction, TrialFunction
+
+__all__ = ["WeakForm", "EvalContext", "Function", "integrate"]
+
+
+class EvalContext:
+    """Numeric bindings for expression evaluation.
+
+    All arrays broadcast against leading axes [A, B, NE, Q] plus the value
+    shape; degenerate axes are kept size-1 so XLA fuses the broadcasts.
+    """
+
+    def __init__(self, *, xq, dtype, phi=None, gphys=None, dof_conn=None,
+                 trial_value=None, trial_grad=None,
+                 test_value=None, test_grad=None):
+        self.xq = xq                    # [NE, Q, d]
+        self.dtype = dtype
+        self.phi = phi                  # [Q, ns] scalar shape values
+        self.gphys = gphys              # [NE, Qg, ns, d] physical gradients
+        self.dof_conn = dof_conn        # [NE, ns] scalar dof connectivity
+        self._trial_value = trial_value
+        self._trial_grad = trial_grad
+        self._test_value = test_value
+        self._test_grad = test_grad
+
+    def _get(self, v, what):
+        if v is None:
+            raise ValueError(
+                f"{what} function used in a form that does not bind one "
+                "(e.g. trial function inside a linear form)")
+        return v
+
+    @property
+    def trial_value(self):
+        return self._get(self._trial_value, "trial")
+
+    @property
+    def trial_grad(self):
+        return self._get(self._trial_grad, "trial")
+
+    @property
+    def test_value(self):
+        return self._get(self._test_value, "test")
+
+    @property
+    def test_grad(self):
+        return self._get(self._test_grad, "test")
+
+
+class Function(Expr):
+    """A discrete FEM function (nodal DOF values) usable inside forms.
+
+    Enables energy functionals / residuals the reference has no counterpart
+    for.  ``values`` is the global DOF vector.
+    """
+
+    def __init__(self, space: FunctionSpace, values):
+        self.space = space
+        self.values = values
+        self.rank = 0 if space.num_components == 1 else 1
+
+    def evaluate(self, ctx: EvalContext):
+        nc = self.space.num_components
+        vals = jnp.asarray(self.values, ctx.dtype)
+        if nc == 1:
+            ue = vals[ctx.dof_conn]                      # [NE, ns]
+            return jnp.einsum("qn,en->eq", ctx.phi, ue)  # [NE, Q]
+        ue = vals.reshape(-1, nc)[ctx.dof_conn]          # [NE, ns, nc]
+        return jnp.einsum("qn,enc->eqc", ctx.phi, ue)
+
+    def gradient(self, ctx: EvalContext):
+        nc = self.space.num_components
+        vals = jnp.asarray(self.values, ctx.dtype)
+        if nc == 1:
+            ue = vals[ctx.dof_conn]
+            g = jnp.einsum("eqnd,en->eqd", ctx.gphys, ue)
+            return g
+        ue = vals.reshape(-1, nc)[ctx.dof_conn]
+        return jnp.einsum("eqnd,enc->eqcd", ctx.gphys, ue)
+
+
+# ---------------------------------------------------------------------------
+
+def _basis_tables(space: FunctionSpace, rule: QuadratureRule, dtype):
+    """phi [Q, ns], dN [Q, ns, dim] as static jnp constants."""
+    el = space.element
+    phi = jnp.asarray(el.shape_values(rule.points), dtype)
+    dN = jnp.asarray(el.shape_grads(rule.points), dtype)
+    return phi, dN
+
+
+def _geometry(ecoords, dN, space: FunctionSpace, rule, dtype):
+    """|detJ| [NE], gphys [NE, Q, ns, d], xq [NE, Q, d].
+
+    The coordinate map is always the P1 vertex map (affine simplices), so J
+    is constant per element even when the *basis* is higher order (P2+),
+    whose gradients then vary with q through dN.
+    """
+    from tpufem.fem.elements import element_for_cell
+
+    geo = element_for_cell(space.mesh.cell_type, 1)
+    phi_geo = jnp.asarray(geo.shape_values(rule.points), dtype)   # [Q, npe]
+    dN_geo = jnp.asarray(
+        geo.shape_grads(rule.points)[0], dtype)                   # [npe, dim]
+    J = jnp.einsum("end,nm->edm", ecoords, dN_geo)
+    invJ, det = _inv_and_det(J)
+    gphys = jnp.einsum("qnm,emd->eqnd", dN, invJ)
+    xq = jnp.einsum("qn,end->eqd", phi_geo, ecoords)
+    return gphys, jnp.abs(det), xq
+
+
+def _expand_vector_basis(phi, gphys, nc):
+    """Scalar basis tables -> vector basis tables (node-major, comp-minor).
+
+    values:  [Q, ns] -> [Q, ns*nc, nc]      (phi_n * e_c)
+    grads:   [NE, Q, ns, d] -> [NE, Q, ns*nc, nc, d]
+    """
+    ns = phi.shape[1]
+    eye = jnp.eye(nc, dtype=phi.dtype)
+    vphi = jnp.einsum("qn,ck->qnck", phi, eye).reshape(phi.shape[0], ns * nc, nc)
+    vg = jnp.einsum("eqnd,ck->eqnckd", gphys, eye)
+    vg = vg.reshape(gphys.shape[0], gphys.shape[1], ns * nc, nc, gphys.shape[3])
+    return vphi, vg
+
+
+@dataclasses.dataclass
+class WeakForm:
+    """A variational problem a(u, v) = L(v) on a function space."""
+
+    space: FunctionSpace
+    quadrature: Optional[QuadratureRule] = None
+    dtype: object = jnp.float64
+
+    def __post_init__(self):
+        if self.quadrature is None:
+            cell = self.space.mesh.cell_type
+            deg = 5 if cell == "triangle" else 3
+            self.quadrature = rule_for_cell(cell, deg)
+        self.lhs_expr: Optional[Expr] = None
+        self.rhs_expr: Optional[Expr] = None
+
+    # -- user API (parity: WeakForm::build, fea_symbolic.cu:275-317) --------
+
+    def build(self, lhs: Optional[Callable] = None,
+              rhs: Optional[Callable] = None) -> "WeakForm":
+        u = TrialFunction(self.space)
+        v = TestFunction(self.space)
+        if lhs is not None:
+            self.lhs_expr = lhs(u, v)
+        if rhs is not None:
+            self.rhs_expr = rhs(v)
+        return self
+
+    # -- element kernels (the NVRTC-compiled kernel analogues) --------------
+
+    def _context(self, ecoords, *, bind_trial, bind_test):
+        space = self.space
+        rule = self.quadrature
+        phi, dN = _basis_tables(space, rule, self.dtype)
+        gphys, adet, xq = _geometry(ecoords, dN, space, rule, self.dtype)
+        nc = space.num_components
+
+        if nc == 1:
+            bphi, bg = phi, gphys          # [Q, ns], [NE, Q, ns, d]
+        else:
+            bphi, bg = _expand_vector_basis(phi, gphys, nc)
+
+        nd = space.local_dofs
+        kw = {}
+        # Leading layout [A(trial), B(test), NE, Q] + value shape; degenerate
+        # axes stay size-1 and broadcast (linear forms simply leave A = 1).
+        if bind_trial:
+            kw["trial_value"] = jnp.moveaxis(bphi, 1, 0)[:, None, None]
+            kw["trial_grad"] = jnp.moveaxis(bg, 2, 0)[:, None]
+        if bind_test:
+            kw["test_value"] = jnp.moveaxis(bphi, 1, 0)[None, :, None]
+            kw["test_grad"] = jnp.moveaxis(bg, 2, 0)[None]
+        ctx = EvalContext(
+            xq=xq, dtype=self.dtype, phi=phi, gphys=gphys,
+            dof_conn=jnp.asarray(space.scalar_dof_conn), **kw)
+        return ctx, adet, nd
+
+    def element_matrices(self, ecoords):
+        """Ke [NE, nd, nd] with Ke[e, i(test), j(trial)] = a(phi_j, phi_i).
+
+        The broadcast-evaluate-contract here subsumes the reference's 9
+        integrand dispatch branches (/root/reference/fea_test.cu:178-195) and
+        its shared-memory quadrature reduction (fea_test.cu:233).
+        """
+        if self.lhs_expr is None:
+            raise ValueError("build() a lhs first")
+        ecoords = jnp.asarray(ecoords, self.dtype)
+        ctx, adet, nd = self._context(ecoords, bind_trial=True, bind_test=True)
+        w = jnp.asarray(self.quadrature.weights, self.dtype)
+        res = self.lhs_expr.evaluate(ctx)
+        ne, q = ecoords.shape[0], w.shape[0]
+        res = jnp.broadcast_to(res, (nd, nd, ne, q))
+        return jnp.einsum("abeq,q,e->eba", res, w, adet)
+
+    def element_vectors(self, ecoords):
+        """be [NE, nd] with be[e, i] = L(phi_i) — the RHS assembly the
+        reference generated code for but never ran (SURVEY.md §2.5.5)."""
+        if self.rhs_expr is None:
+            raise ValueError("build() a rhs first")
+        ecoords = jnp.asarray(ecoords, self.dtype)
+        ctx, adet, nd = self._context(ecoords, bind_trial=False, bind_test=True)
+        w = jnp.asarray(self.quadrature.weights, self.dtype)
+        res = self.rhs_expr.evaluate(ctx)
+        ne, q = ecoords.shape[0], w.shape[0]
+        res = jnp.broadcast_to(res, (1, nd, ne, q))[0]
+        return jnp.einsum("beq,q,e->eb", res, w, adet)
+
+    # -- assembly ------------------------------------------------------------
+
+    def assemble(self, format: str = "ell", pattern=None, pad_to=None):
+        """Assemble (A, b). format in {"dense", "ell"}."""
+        space = self.space
+        ecoords = jnp.asarray(space.mesh.element_coords(), self.dtype)
+        Ke = self.element_matrices(ecoords)
+        b = None
+        if self.rhs_expr is not None:
+            be = self.element_vectors(ecoords)
+            b = assemble_vector(space.dof_conn, be, space.num_dofs)
+        if format == "dense":
+            A = assemble_dense(space.dof_conn, Ke, space.num_dofs)
+        elif format == "ell":
+            if pattern is None:
+                from tpufem.mesh.adjacency import ell_pattern
+                if pad_to is None:
+                    pad_to = 8 if space.mesh.dim == 2 else 16
+                pattern = ell_pattern(space.dof_conn, space.num_dofs,
+                                      pad_to=pad_to)
+            A = assemble_ell(pattern, Ke)
+        else:
+            raise ValueError(f"unknown format {format!r}")
+        return A, b
+
+
+def integrate(space: FunctionSpace, expr: Expr, *, quadrature=None,
+              dtype=jnp.float64):
+    """∫_Ω expr dx for an expression without trial/test functions
+    (e.g. L2 error of a Function against an exact Coefficient)."""
+    cell = space.mesh.cell_type
+    rule = quadrature or rule_for_cell(cell, 5 if cell == "triangle" else 3)
+    wf = WeakForm(space, quadrature=rule, dtype=dtype)
+    ecoords = jnp.asarray(space.mesh.element_coords(), dtype)
+    ctx, adet, _ = wf._context(ecoords, bind_trial=False, bind_test=False)
+    w = jnp.asarray(rule.weights, dtype)
+    res = expr.evaluate(ctx)
+    ne, q = ecoords.shape[0], w.shape[0]
+    res = jnp.broadcast_to(res, (ne, q))
+    return jnp.einsum("eq,q,e->", res, w, adet)
