@@ -1,0 +1,137 @@
+"""Distributed paths on the 8-device virtual CPU mesh (SURVEY.md §4e)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpufem.assemble.local import element_load, p1_stiffness
+from tpufem.assemble.dense import assemble_vector
+from tpufem.assemble.stencil import assemble_stencil
+from tpufem.dist.cg import distributed_stencil_solve, stencil_cg_sharded
+from tpufem.dist.partition import pad_rows
+from tpufem.fem.elements import P1Tetrahedron, P1Triangle
+from tpufem.fem.quadrature import tetrahedron_rule, triangle_rule
+from tpufem.mesh.box import box_mesh
+from tpufem.mesh.rectangle import rectangle_mesh
+from tpufem.solve.bc import apply_dirichlet_stencil
+from tpufem.solve.cg import cg
+from tpufem.solve.poisson import model_problem_2d, model_problem_3d
+from tpufem.sparse.stencil import stencil_pattern
+
+
+def _mesh8(cpu_devices):
+    return Mesh(np.array(cpu_devices[:8]), ("rows",))
+
+
+def _poisson_stencil_system(n=20):
+    mesh = rectangle_mesh(-3, 3, -3, 3, n, n)
+    ec = jnp.asarray(mesh.element_coords())
+    el = P1Triangle()
+    Ke = p1_stiffness(ec, el)
+    pat = stencil_pattern(mesh.conn, mesh.num_nodes)
+    A = assemble_stencil(pat, Ke)
+    f, _ = model_problem_2d()
+    be = element_load(ec, el, triangle_rule(5), f)
+    b = assemble_vector(mesh.conn, be, mesh.num_nodes)
+    A, b = apply_dirichlet_stencil(A, b, jnp.asarray(mesh.node_flags != 0))
+    return mesh, A, b
+
+
+def test_distributed_cg_matches_single_device(cpu_devices):
+    mesh2d, A, b = _poisson_stencil_system(20)
+    ref = cg(A.matvec, b, tol=1e-11, maxiter=3000)
+    assert bool(ref.converged)
+
+    dmesh = _mesh8(cpu_devices)
+    x, res = distributed_stencil_solve(A, b, dmesh, tol=1e-11, maxiter=3000)
+    assert bool(res.converged)
+    assert not bool(res.diverged)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
+                               rtol=1e-8, atol=1e-9)
+
+
+def test_distributed_cg_3d(cpu_devices):
+    # 13x13x13 nodes = 2197 rows -> 275 rows/shard > halo (13*13+13+1 = 183)
+    mesh = box_mesh(-3, 3, -3, 3, -3, 3, 12, 12, 12)
+    ec = jnp.asarray(mesh.element_coords())
+    el = P1Tetrahedron()
+    Ke = p1_stiffness(ec, el)
+    pat = stencil_pattern(mesh.conn, mesh.num_nodes)
+    A = assemble_stencil(pat, Ke)
+    f, _ = model_problem_3d()
+    be = element_load(ec, el, tetrahedron_rule(3), f)
+    b = assemble_vector(mesh.conn, be, mesh.num_nodes)
+    A, b = apply_dirichlet_stencil(A, b, jnp.asarray(mesh.node_flags != 0))
+
+    ref = cg(A.matvec, b, tol=1e-10, maxiter=2000)
+    dmesh = _mesh8(cpu_devices)
+    x, res = distributed_stencil_solve(A, b, dmesh, tol=1e-10, maxiter=2000)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
+                               rtol=1e-7, atol=1e-8)
+
+
+def test_halo_wider_than_stripe_raises(cpu_devices):
+    mesh = box_mesh(0, 1, 0, 1, 0, 1, 6, 6, 6)  # 343 nodes, halo 57 > 43
+    ec = jnp.asarray(mesh.element_coords())
+    Ke = p1_stiffness(ec, P1Tetrahedron())
+    pat = stencil_pattern(mesh.conn, mesh.num_nodes)
+    A = assemble_stencil(pat, Ke)
+    b = jnp.ones(mesh.num_nodes)
+    import pytest
+    with pytest.raises(ValueError, match="thinner than the stencil halo"):
+        distributed_stencil_solve(A, b, _mesh8(cpu_devices))
+
+
+def test_pad_rows_identity_padding(cpu_devices):
+    _, A, b = _poisson_stencil_system(9)   # 100 rows -> pads to 104
+    diag_k = A.offsets.index(0)
+    data_p, b_p, n = pad_rows(A.data, b, A.offsets, 8, diag_k)
+    assert data_p.shape[1] % 8 == 0
+    assert n == b.shape[0]
+    # padding rows are identity with zero rhs
+    assert np.asarray(data_p[diag_k, n:] == 1).all()
+    assert np.asarray(b_p[n:] == 0).all()
+
+
+def test_sharded_matvec_matches_local(cpu_devices):
+    _, A, b = _poisson_stencil_system(15)   # 256 rows = 8 * 32
+    assert b.shape[0] % 8 == 0
+    dmesh = _mesh8(cpu_devices)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(b.shape[0]))
+
+    import functools
+    @functools.partial(jax.shard_map, mesh=dmesh,
+                       in_specs=(P(None, "rows"), P("rows")),
+                       out_specs=P("rows"))
+    def mv(data_l, x_l):
+        from tpufem.dist.stencil import sharded_stencil_matvec
+        return sharded_stencil_matvec(data_l, x_l, A.offsets, "rows")
+
+    y_dist = mv(jax.device_put(A.data, NamedSharding(dmesh, P(None, "rows"))),
+                jax.device_put(x, NamedSharding(dmesh, P("rows"))))
+    np.testing.assert_allclose(np.asarray(y_dist), np.asarray(A.matvec(x)),
+                               rtol=1e-11, atol=1e-12)
+
+
+def test_auto_sharding_pjit_path(cpu_devices):
+    """The zero-custom-code path: shard inputs with NamedSharding, jit the
+    plain single-chip CG, let XLA insert collectives."""
+    _, A, b = _poisson_stencil_system(15)
+    dmesh = _mesh8(cpu_devices)
+    from tpufem.sparse.stencil import StencilMatrix
+
+    data_s = jax.device_put(A.data, NamedSharding(dmesh, P(None, "rows")))
+    b_s = jax.device_put(b, NamedSharding(dmesh, P("rows")))
+    A_s = StencilMatrix(data_s, A.offsets)
+
+    @jax.jit
+    def solve(A_, b_):
+        return cg(A_.matvec, b_, tol=1e-11, maxiter=3000)
+
+    res = solve(A_s, b_s)
+    ref = cg(A.matvec, b, tol=1e-11, maxiter=3000)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-8, atol=1e-9)

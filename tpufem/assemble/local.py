@@ -18,10 +18,23 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from tpufem.fem.elements import ReferenceElement
 from tpufem.fem.quadrature import QuadratureRule
+
+# Two TPU-specific rules shape every contraction in this module:
+#  1. fp32 einsums default to bf16 MXU inputs — geometry differences
+#     (x1 - x3 ~ h) and quadrature sums would lose all significance (and
+#     1/det -> inf on fine meshes), so nothing here may hit the MXU in bf16;
+#  2. tiny batched dot_generals (contraction dims 2-7 over millions of
+#     elements) at HIGHEST precision trigger pathological XLA TPU compile
+#     times (~3 min per shape, measured).
+# Both are solved the same way: express the small contractions as explicit
+# broadcast-multiply-reduce, which stays on the VPU in full fp32, compiles in
+# seconds, and is bandwidth-bound (the roofline for this op class anyway).
+_HI = jax.lax.Precision.HIGHEST
 
 __all__ = [
     "affine_geometry", "p1_stiffness", "element_mass", "element_load",
@@ -74,14 +87,20 @@ def affine_geometry(ecoords, element: ReferenceElement):
     rx = ys/jac, ry = -xs/jac, ... (/root/reference/fea_test.cu:156-171) but
     with |det J| so clockwise elements (SURVEY.md §2.5.4) need no sign fixup.
     """
-    # reference gradients are constant for P1: [npe, dim]
-    dN = jnp.asarray(
-        element.shape_grads(np.zeros((1, element.dim)))[0], ecoords.dtype)
-    # J[e, d, m] = sum_n x[e, n, d] * dN[n, m]
-    J = jnp.einsum("end,nm->edm", ecoords, dN)
+    # For P1 simplices dN is (I; -1...-1), so J is pure coordinate
+    # differences: J[e, d, m] = x[e, m, d] - x[e, last, d] — exactly the
+    # reference's xr = x1-x3, ... (fea_test.cu:158-161), computed
+    # elementwise (never through the MXU, which would round fp32
+    # differences to bf16 and zero out fine-mesh Jacobians).
+    last = ecoords[:, -1:, :]                       # [NE, 1, dim]
+    E = ecoords[:, :-1, :] - last                   # [NE, dim(m), dim(d)]
+    J = jnp.swapaxes(E, 1, 2)                       # [NE, d, m]
     invJ, det = _inv_and_det(J)
-    # G[e, n, d] = dN[n, m] * invJ[e, m, d]
-    G = jnp.einsum("nm,emd->end", dN, invJ)
+    # G[e, n, d] = dN[n, m] * invJ[e, m, d]; dN rows are the identity for
+    # n < dim (so G row n = invJ row n) and all -1 for the last node:
+    G_main = invJ                                   # [NE, dim, dim]
+    G_last = -G_main.sum(axis=1, keepdims=True)     # last row: -sum
+    G = jnp.concatenate([G_main, G_last], axis=1)   # [NE, npe, dim]
     return G, jnp.abs(det)
 
 
@@ -94,7 +113,9 @@ def p1_stiffness(ecoords, element: ReferenceElement):
     """
     G, adet = affine_geometry(ecoords, element)
     vol = adet * _REF_VOLUME[element.cell_type]
-    return jnp.einsum("eid,ejd->eij", G, G) * vol[:, None, None]
+    # K[e,i,j] = sum_d G[e,i,d] G[e,j,d] — broadcast-reduce, not dot_general
+    K = (G[:, :, None, :] * G[:, None, :, :]).sum(-1)
+    return K * vol[:, None, None]
 
 
 def element_mass(ecoords, element: ReferenceElement, rule: QuadratureRule,
@@ -104,7 +125,7 @@ def element_mass(ecoords, element: ReferenceElement, rule: QuadratureRule,
     phi = jnp.asarray(element.shape_values(rule.points), dtype)  # [Q, n]
     w = jnp.asarray(rule.weights, dtype)
     _, adet = affine_geometry(ecoords, element)
-    mref = jnp.einsum("q,qi,qj->ij", w, phi, phi)
+    mref = jnp.einsum("q,qi,qj->ij", w, phi, phi, precision=_HI)
     return mref[None] * adet[:, None, None]
 
 
@@ -115,7 +136,8 @@ def map_points(ecoords, element: ReferenceElement, rule: QuadratureRule):
     (/root/reference/fea_symbolic.cu:229-231) generalized via shape values.
     """
     phi = jnp.asarray(element.shape_values(rule.points), ecoords.dtype)
-    return jnp.einsum("qn,end->eqd", phi, ecoords)
+    # xq[e,q,d] = sum_n phi[q,n] x[e,n,d]
+    return (phi[None, :, :, None] * ecoords[:, None, :, :]).sum(2)
 
 
 def element_load(ecoords, element: ReferenceElement, rule: QuadratureRule, f):
@@ -131,4 +153,6 @@ def element_load(ecoords, element: ReferenceElement, rule: QuadratureRule, f):
     _, adet = affine_geometry(ecoords, element)
     xq = map_points(ecoords, element, rule)          # [NE, Q, dim]
     fq = f(xq)                                       # [NE, Q]
-    return jnp.einsum("q,qi,eq->ei", w, phi, fq) * adet[:, None]
+    wphi = w[:, None] * phi                          # [Q, n]
+    be = (fq[:, :, None] * wphi[None, :, :]).sum(1)  # [NE, n]
+    return be * adet[:, None]

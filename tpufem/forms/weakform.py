@@ -23,7 +23,10 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST  # keep fp32 einsums in fp32 on TPU
 
 from tpufem.assemble.dense import assemble_dense, assemble_vector
 from tpufem.assemble.ell import assemble_ell
@@ -96,19 +99,20 @@ class Function(Expr):
         vals = jnp.asarray(self.values, ctx.dtype)
         if nc == 1:
             ue = vals[ctx.dof_conn]                      # [NE, ns]
-            return jnp.einsum("qn,en->eq", ctx.phi, ue)  # [NE, Q]
+            # u(q) = sum_n phi[q,n] ue[e,n]
+            return (ctx.phi[None] * ue[:, None, :]).sum(2)  # [NE, Q]
         ue = vals.reshape(-1, nc)[ctx.dof_conn]          # [NE, ns, nc]
-        return jnp.einsum("qn,enc->eqc", ctx.phi, ue)
+        return (ctx.phi[None, :, :, None] * ue[:, None, :, :]).sum(2)
 
     def gradient(self, ctx: EvalContext):
         nc = self.space.num_components
         vals = jnp.asarray(self.values, ctx.dtype)
         if nc == 1:
             ue = vals[ctx.dof_conn]
-            g = jnp.einsum("eqnd,en->eqd", ctx.gphys, ue)
-            return g
+            return (ctx.gphys * ue[:, None, :, None]).sum(2)
         ue = vals.reshape(-1, nc)[ctx.dof_conn]
-        return jnp.einsum("eqnd,enc->eqcd", ctx.gphys, ue)
+        return (ctx.gphys[:, :, :, None, :]
+                * ue[:, None, :, :, None]).sum(2)
 
 
 # ---------------------------------------------------------------------------
@@ -134,10 +138,15 @@ def _geometry(ecoords, dN, space: FunctionSpace, rule, dtype):
     phi_geo = jnp.asarray(geo.shape_values(rule.points), dtype)   # [Q, npe]
     dN_geo = jnp.asarray(
         geo.shape_grads(rule.points)[0], dtype)                   # [npe, dim]
-    J = jnp.einsum("end,nm->edm", ecoords, dN_geo)
+    # All tiny contractions are broadcast-multiply-reduce: fp32-exact on TPU
+    # and free of the pathological XLA small-dot compile times (local.py).
+    # J[e,d,m] = sum_n x[e,n,d] dN_geo[n,m]
+    J = (ecoords[:, :, :, None] * dN_geo[None, :, None, :]).sum(1)
     invJ, det = _inv_and_det(J)
-    gphys = jnp.einsum("qnm,emd->eqnd", dN, invJ)
-    xq = jnp.einsum("qn,end->eqd", phi_geo, ecoords)
+    # gphys[e,q,n,d] = sum_m dN[q,n,m] invJ[e,m,d]
+    gphys = (dN[None, :, :, :, None] * invJ[:, None, None, :, :]).sum(3)
+    # xq[e,q,d] = sum_n phi_geo[q,n] x[e,n,d]
+    xq = (phi_geo[None, :, :, None] * ecoords[:, None, :, :]).sum(2)
     return gphys, jnp.abs(det), xq
 
 
@@ -149,8 +158,9 @@ def _expand_vector_basis(phi, gphys, nc):
     """
     ns = phi.shape[1]
     eye = jnp.eye(nc, dtype=phi.dtype)
-    vphi = jnp.einsum("qn,ck->qnck", phi, eye).reshape(phi.shape[0], ns * nc, nc)
-    vg = jnp.einsum("eqnd,ck->eqnckd", gphys, eye)
+    vphi = (phi[:, :, None, None] * eye[None, None]).reshape(
+        phi.shape[0], ns * nc, nc)
+    vg = gphys[:, :, :, None, None, :] * eye[None, None, None, :, :, None]
     vg = vg.reshape(gphys.shape[0], gphys.shape[1], ns * nc, nc, gphys.shape[3])
     return vphi, vg
 
@@ -227,7 +237,9 @@ class WeakForm:
         res = self.lhs_expr.evaluate(ctx)
         ne, q = ecoords.shape[0], w.shape[0]
         res = jnp.broadcast_to(res, (nd, nd, ne, q))
-        return jnp.einsum("abeq,q,e->eba", res, w, adet)
+        # Ke[e,i(test)=b,j(trial)=a] = sum_q res[a,b,e,q] w[q] * |detJ|[e]
+        Ke = (res * w[None, None, None, :]).sum(-1)      # [A, B, NE]
+        return (Ke * adet[None, None, :]).transpose(2, 1, 0)
 
     def element_vectors(self, ecoords):
         """be [NE, nd] with be[e, i] = L(phi_i) — the RHS assembly the
@@ -240,7 +252,8 @@ class WeakForm:
         res = self.rhs_expr.evaluate(ctx)
         ne, q = ecoords.shape[0], w.shape[0]
         res = jnp.broadcast_to(res, (1, nd, ne, q))[0]
-        return jnp.einsum("beq,q,e->eb", res, w, adet)
+        be = (res * w[None, None, :]).sum(-1)            # [B, NE]
+        return (be * adet[None, :]).T
 
     # -- assembly ------------------------------------------------------------
 
@@ -281,4 +294,4 @@ def integrate(space: FunctionSpace, expr: Expr, *, quadrature=None,
     res = expr.evaluate(ctx)
     ne, q = ecoords.shape[0], w.shape[0]
     res = jnp.broadcast_to(res, (ne, q))
-    return jnp.einsum("eq,q,e->", res, w, adet)
+    return (((res * w[None, :]).sum(1)) * adet).sum()

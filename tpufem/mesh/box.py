@@ -20,7 +20,7 @@ import itertools
 
 import numpy as np
 
-from tpufem.mesh.core import Mesh
+from tpufem.mesh.core import Mesh, StructuredInfo
 
 __all__ = ["box_mesh", "unit_cube_mesh", "BoxMesh", "UnitCubeMesh"]
 
@@ -75,8 +75,13 @@ def box_mesh(
     idx = (pos[..., 0] * ny1 + pos[..., 1]) * nx1 + pos[..., 2]
     conn = idx.reshape(-1, 4).astype(np.int32)  # [NC*6, 4]
 
+    info = StructuredInfo(
+        node_grid=(nz1, ny1, nx1),
+        cell_grid=(nz, ny, nx),
+        type_node_offsets=np.asarray(_KUHN_TETS, dtype=np.int64),
+    )
     return Mesh(coords=coords, conn=conn, node_flags=flags.ravel(),
-                cell_type="tetrahedron")
+                cell_type="tetrahedron", structured=info)
 
 
 def unit_cube_mesh(nx: int, ny: int, nz: int) -> Mesh:

@@ -20,7 +20,30 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["Mesh"]
+__all__ = ["Mesh", "StructuredInfo"]
+
+
+@dataclasses.dataclass(frozen=True)
+class StructuredInfo:
+    """Regular-grid metadata attached to structured meshes.
+
+    Enables shift-invariant (index-free) assembly and stencil operators:
+    elements are enumerated cell-major with ``num_types`` elements per grid
+    cell (interleaved), and every element type's nodes sit at fixed grid
+    offsets from the cell's base node.
+
+    node_grid / cell_grid: grid shapes, slowest axis first (matches the node
+    numbering strides of the generators).
+    type_node_offsets: [T, npe, ndim_grid] int64 node offsets per type.
+    """
+
+    node_grid: tuple
+    cell_grid: tuple
+    type_node_offsets: "np.ndarray"
+
+    @property
+    def num_types(self) -> int:
+        return self.type_node_offsets.shape[0]
 
 
 @dataclasses.dataclass
@@ -28,12 +51,15 @@ class Mesh:
     """An unstructured simplex mesh in SoA layout.
 
     ``cell_type`` is "triangle" (3 nodes) or "tetrahedron" (4 nodes).
+    ``structured`` carries optional regular-grid metadata (set by the
+    rectangle/box generators) unlocking index-free assembly fast paths.
     """
 
     coords: np.ndarray        # [NN, dim] float64
     conn: np.ndarray          # [NE, npe] int32
     node_flags: np.ndarray    # [NN] int32, 1 = boundary
     cell_type: str = "triangle"
+    structured: Optional[StructuredInfo] = None
 
     def __post_init__(self):
         self.coords = np.ascontiguousarray(self.coords, dtype=np.float64)

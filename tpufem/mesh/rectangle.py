@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from tpufem.mesh.core import Mesh
+from tpufem.mesh.core import Mesh, StructuredInfo
 
 __all__ = ["rectangle_mesh", "unit_square_mesh", "RectangleMesh", "UnitSquareMesh"]
 
@@ -62,8 +62,17 @@ def rectangle_mesh(
     conn[0::2] = lower
     conn[1::2] = upper
 
+    # grid metadata: node offsets (di, dj) of each element type's 3 nodes
+    info = StructuredInfo(
+        node_grid=(nr1, nc1),
+        cell_grid=(n_row, n_col),
+        type_node_offsets=np.array(
+            [[[0, 0], [0, 1], [1, 0]],        # lower (n, n+1, n+nc1)
+             [[0, 1], [1, 1], [1, 0]]],       # upper (n+1, n+nc1+1, n+nc1)
+            dtype=np.int64),
+    )
     return Mesh(coords=coords, conn=conn, node_flags=flags.ravel(),
-                cell_type="triangle")
+                cell_type="triangle", structured=info)
 
 
 def unit_square_mesh(n_row: int, n_col: int) -> Mesh:

@@ -18,8 +18,8 @@ import jax.numpy as jnp
 from tpufem.sparse.ell import ELLMatrix
 
 __all__ = [
-    "apply_dirichlet_dense", "apply_dirichlet_ell", "constrained_operator",
-    "constrain_rhs",
+    "apply_dirichlet_dense", "apply_dirichlet_ell", "apply_dirichlet_stencil",
+    "constrained_operator", "constrain_rhs",
 ]
 
 
@@ -62,6 +62,30 @@ def apply_dirichlet_ell(A: ELLMatrix, b, bc_mask, bc_values=None):
     diag_new = jnp.where(mask, jnp.ones((), data.dtype), diag_old)
     data = data.at[rows, A.diag_pos].set(diag_new)
     return ELLMatrix(data, A.cols, A.row_lengths, A.diag_pos), b
+
+
+def apply_dirichlet_stencil(A, b, bc_mask, bc_values=None):
+    """Symmetric Dirichlet elimination on a StencilMatrix system."""
+    import jax
+
+    from tpufem.sparse.stencil import StencilMatrix
+
+    mask, g = _bc_arrays(b, bc_mask, bc_values)
+    b = b - A.matvec(g)
+    b = jnp.where(mask, g, b)
+
+    n = A.data.shape[1]
+    halo = max(abs(o) for o in A.offsets) if A.offsets else 0
+    mask_p = jnp.pad(mask, (halo, halo))
+    rows_keep = ~mask
+    new_diags = []
+    for k, off in enumerate(A.offsets):
+        col_bc = jax.lax.dynamic_slice(mask_p, (halo + off,), (n,))
+        d = jnp.where(rows_keep & ~col_bc, A.data[k], 0)
+        if off == 0:
+            d = jnp.where(mask, jnp.ones((), d.dtype), d)
+        new_diags.append(d)
+    return StencilMatrix(jnp.stack(new_diags), A.offsets), b
 
 
 def constrain_rhs(matvec, b, bc_mask, bc_values=None):

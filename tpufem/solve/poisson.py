@@ -72,6 +72,24 @@ def model_problem_3d():
     return f, exact
 
 
+def model_problem_2d_planes():
+    """Batch-trailing form of the 2D RHS (separate coordinate planes)."""
+
+    def f(x, y):
+        return 36.0 - 2.0 * (x * x + y * y)
+
+    return f
+
+
+def model_problem_3d_planes():
+    def f(x, y, z):
+        return 2.0 * ((9.0 - y * y) * (9.0 - z * z)
+                      + (9.0 - x * x) * (9.0 - z * z)
+                      + (9.0 - x * x) * (9.0 - y * y))
+
+    return f
+
+
 # -- drivers -----------------------------------------------------------------
 
 def _rhs_and_bc(space: FunctionSpace, ecoords, f: Callable, rule, dtype):

@@ -7,7 +7,10 @@ elementwise / small-batched-solve ops that fuse into the CG iteration.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST  # keep fp32 einsums in fp32 on TPU
 
 from tpufem.sparse.ell import ELLMatrix
 
@@ -42,7 +45,7 @@ def block_jacobi(diag_blocks):
 
     def apply(r):
         rb = r.reshape(-1, bsize)
-        out = jnp.einsum("nij,nj->ni", inv_blocks, rb)
+        out = (inv_blocks * rb[:, None, :]).sum(2)
         return out.reshape(r.shape)
 
     return apply
