@@ -46,22 +46,23 @@ from tpufem.assemble.structured import (assemble_stencil_structured_bt,
 from tpufem.fem.quadrature import tetrahedron_rule
 from tpufem.mesh.box import box_mesh
 from tpufem.solve.bc import apply_dirichlet_stencil
+from tpufem.ops.stencil_pallas import pick_block_lead, stencil_matvec_embedded
+from tpufem.solve.multigrid import build_poisson_multigrid, mg_preconditioner
 from tpufem.solve.poisson import model_problem_3d, model_problem_3d_planes
-from tpufem.sparse.stencil import stencil_matvec
 from tpufem.utils.timing import PhaseTimer, device_seconds_per_rep
 
 BASELINE_DOFS_PER_SEC = 1.2e8   # estimated A100 CUDA pipeline (see docstring)
 
 
-def pcg_fixed_iters(data, offsets, b, inv_diag, iters):
-    """Fixed-iteration Jacobi-PCG (fori_loop) for timing; returns (x, rr)."""
+def pcg_fixed_iters(data, plan, block_lead, b, precond, iters):
+    """Fixed-iteration PCG (fori_loop) for timing; returns (x, rr)."""
 
     def matvec(v):
-        return stencil_matvec(data, offsets, v)
+        return stencil_matvec_embedded(data, v, plan, block_lead=block_lead)
 
     x0 = jnp.zeros_like(b)
     r0 = b
-    z0 = r0 * inv_diag
+    z0 = precond(r0)
     rz0 = jnp.vdot(r0, z0)
 
     def body(i, state):
@@ -70,7 +71,7 @@ def pcg_fixed_iters(data, offsets, b, inv_diag, iters):
         alpha = rz / jnp.vdot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = r * inv_diag
+        z = precond(r)
         rz_new = jnp.vdot(r, z)
         p = z + (rz_new / rz) * p
         return (x, r, z, p, rz_new)
@@ -80,20 +81,25 @@ def pcg_fixed_iters(data, offsets, b, inv_diag, iters):
 
 
 def main():
-    n = int(os.environ.get("TPUFEM_BENCH_N", "100"))
+    # default 96: ~0.91M DOFs and dyadically refinable (96->48->24->12->6)
+    # so the multigrid hierarchy bottoms out on a tiny dense-inverse level
+    n = int(os.environ.get("TPUFEM_BENCH_N", "96"))
+    solver = os.environ.get("TPUFEM_BENCH_SOLVER", "mg")   # mg | jacobi
     dtype = jnp.float32
     timer = PhaseTimer()
 
     with timer("host_mesh_and_plan"):
         mesh = box_mesh(-3, 3, -3, 3, -3, 3, n, n, n)
-        plan = structured_plan(mesh)
+        plan = structured_plan(mesh, embed=True)
         Xh = element_coords_bt(mesh, np.float32)
     nn = mesh.num_nodes
+    ns = plan.num_store_rows
     offsets = plan.offsets
+    block_lead = pick_block_lead(plan.store_grid, plan.width)
     rule = tetrahedron_rule(3)
     f_planes = model_problem_3d_planes()
     _, exact = model_problem_3d()
-    bc_mask = jnp.asarray(mesh.node_flags != 0)
+    bc_mask = plan.embed_field(jnp.asarray(mesh.node_flags != 0), fill=False)
 
     with timer("h2d"):
         X = jax.device_put(jnp.asarray(Xh))
@@ -115,6 +121,14 @@ def main():
         data, b, inv_d = build_system(X)
         _ = float(b[0])
 
+    with timer("build_mg_hierarchy"):
+        if solver == "mg":
+            levels = build_poisson_multigrid((-3.0, 3.0), n, 3, dtype=dtype,
+                                             coarse_max=8, use_pallas=True)
+            precond = mg_preconditioner(levels, nu1=1, nu2=1)
+        else:
+            precond = lambda r: r * inv_d
+
     # ---- timed: full assembly (stiffness + RHS + BC), rep-difference ----
     @jax.jit
     def asm_reps(X, reps):
@@ -123,30 +137,31 @@ def main():
             d, _, _ = build_system(X + eps)
             return d
         return jax.lax.fori_loop(
-            0, reps, body, jnp.zeros((len(offsets), nn), dtype))
+            0, reps, body, jnp.zeros((len(offsets), ns), dtype))
 
     t_asm = device_seconds_per_rep(lambda r: asm_reps(X, r),
                                    reps_low=2, reps_high=22)
 
     # ---- timed: PCG iteration cost ----
     @jax.jit
-    def pcg_reps(data, b, inv_d, iters):
-        x, rr = pcg_fixed_iters(data, offsets, b, inv_d, iters)
+    def pcg_reps(data, b, iters):
+        x, rr = pcg_fixed_iters(data, plan, block_lead, b, precond, iters)
         return x
 
-    t_iter = device_seconds_per_rep(lambda r: pcg_reps(data, b, inv_d, r),
-                                    reps_low=10, reps_high=210)
+    reps_hi = 60 if solver == "mg" else 210
+    t_iter = device_seconds_per_rep(lambda r: pcg_reps(data, b, r),
+                                    reps_low=5, reps_high=reps_hi)
 
     # ---- convergence: iterations to 1e-5 relative residual (fp32) ----
     @jax.jit
-    def solve_iters(data, b, inv_d, iters):
-        x, rr = pcg_fixed_iters(data, offsets, b, inv_d, iters)
+    def solve_iters(data, b, iters):
+        x, rr = pcg_fixed_iters(data, plan, block_lead, b, precond, iters)
         return x, jnp.sqrt(rr) / jnp.linalg.norm(b)
 
-    iters = 50
+    iters = 4 if solver == "mg" else 50
     relres = 1.0
     while iters <= 3200:
-        x, rr = solve_iters(data, b, inv_d, iters)
+        x, rr = solve_iters(data, b, iters)
         relres = float(rr)
         if relres < 1e-5:
             break
@@ -154,16 +169,17 @@ def main():
 
     # solution quality vs exact manufactured solution
     ue = exact(mesh.coords).astype(np.float32)
-    err = float(np.sqrt(np.mean((np.asarray(x) - ue) ** 2))
+    u = np.asarray(plan.extract_field(x))
+    err = float(np.sqrt(np.mean((u - ue) ** 2))
                 / np.sqrt(np.mean(ue ** 2)))
 
     t_total = t_asm + iters * t_iter
     dofs_per_sec = nn / t_total
 
     # HBM speed-of-light fractions
-    asm_bytes = (X.size + len(offsets) * nn + nn) * 4
+    asm_bytes = (X.size + len(offsets) * ns + ns) * 4
     asm_sol = asm_bytes / t_asm / 1e9 / 819.0
-    iter_bytes = (len(offsets) * nn + 7 * nn) * 4   # data + ~7 vector passes
+    iter_bytes = (len(offsets) * ns + 7 * ns) * 4   # data + ~7 vector passes
     iter_sol = iter_bytes / t_iter / 1e9 / 819.0
 
     report = {
@@ -178,6 +194,7 @@ def main():
         "assemble_hbm_sol_fraction": round(asm_sol, 3),
         "pcg_iter_ms": round(t_iter * 1e3, 4),
         "pcg_iter_hbm_sol_fraction": round(iter_sol, 3),
+        "solver": solver,
         "pcg_iters_to_1e-5": iters,
         "pcg_relres": relres,
         "solve_ms": round(iters * t_iter * 1e3, 2),

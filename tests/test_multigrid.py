@@ -1,0 +1,136 @@
+"""Geometric multigrid: transfer-operator exactness, V-cycle convergence."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpufem.assemble.planar import (element_coords_bt, element_load_bt,
+                                    p1_stiffness_bt)
+from tpufem.assemble.structured import (assemble_vector_structured_bt,
+                                        structured_plan)
+from tpufem.mesh.box import box_mesh
+from tpufem.mesh.rectangle import rectangle_mesh
+from tpufem.fem.quadrature import tetrahedron_rule, triangle_rule
+from tpufem.solve.cg import cg
+from tpufem.solve.multigrid import (build_poisson_multigrid,
+                                    mg_preconditioner, prolong, restrict,
+                                    v_cycle)
+from tpufem.solve.poisson import (model_problem_2d, model_problem_2d_planes,
+                                  model_problem_3d, model_problem_3d_planes)
+from tpufem.sparse.stencil import stencil_matvec
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_restrict_is_prolong_adjoint(dim):
+    rng = np.random.default_rng(0)
+    nc = 5
+    shape_c = (nc,) * dim
+    shape_f = (2 * nc - 1,) * dim
+    xc = jnp.asarray(rng.standard_normal(shape_c))
+    yf = jnp.asarray(rng.standard_normal(shape_f))
+    lhs = jnp.vdot(prolong(xc, dim), yf)
+    rhs = jnp.vdot(xc, restrict(yf, dim))
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-13)
+
+
+def test_prolong_exact_on_linear_functions():
+    """P1 interpolation must reproduce linears exactly (nested spaces)."""
+    for dim in (2, 3):
+        n = 4
+        axes = [np.linspace(0, 1, n + 1)] * dim
+        grids = np.meshgrid(*axes, indexing="ij")
+        lin = sum((i + 1) * g for i, g in enumerate(grids)) + 0.5
+        fine = prolong(jnp.asarray(lin), dim)
+        axes_f = [np.linspace(0, 1, 2 * n + 1)] * dim
+        grids_f = np.meshgrid(*axes_f, indexing="ij")
+        lin_f = sum((i + 1) * g for i, g in enumerate(grids_f)) + 0.5
+        np.testing.assert_allclose(np.asarray(fine), lin_f, rtol=1e-13)
+
+
+def test_galerkin_property_2d():
+    """Rediscretized coarse operator == P^T A_f P (exact nesting)."""
+    levels = build_poisson_multigrid((-3.0, 3.0), 8, 2, dtype=jnp.float64,
+                                     coarse_max=4, use_pallas=False)
+    fine, coarse = levels[0], levels[1]
+    nc = coarse.plan.info.node_grid
+    nn_c = int(np.prod(nc))
+    Ac_redisc = np.zeros((nn_c, nn_c))
+    Ac_galerkin = np.zeros((nn_c, nn_c))
+    for j in range(nn_c):
+        ej = jnp.zeros(nn_c).at[j].set(1.0)
+        # rediscretized action
+        ejs = coarse.plan.embed_field(ej)
+        Ac_redisc[:, j] = np.asarray(coarse.plan.extract_field(
+            stencil_matvec(coarse.data, coarse.plan.offsets, ejs)))
+        # Galerkin action: P^T A_f P e_j
+        pf = prolong(ej.reshape(nc), 2)
+        pfs = fine.plan.embed_field(pf.reshape(-1))
+        af = stencil_matvec(fine.data, fine.plan.offsets, pfs)
+        af_grid = fine.plan.extract_field(af).reshape(
+            fine.plan.info.node_grid)
+        Ac_galerkin[:, j] = np.asarray(restrict(af_grid, 2)).reshape(-1)
+    # compare on interior rows/cols (BC rows differ: identity vs Galerkin)
+    flags = np.asarray(coarse.bc_mask)
+    interior = np.asarray(coarse.plan.extract_field(
+        jnp.asarray(~np.asarray(coarse.bc_mask)))).astype(bool)
+    ii = np.nonzero(interior)[0]
+    np.testing.assert_allclose(Ac_redisc[np.ix_(ii, ii)],
+                               Ac_galerkin[np.ix_(ii, ii)],
+                               rtol=1e-11, atol=1e-12)
+
+
+@pytest.mark.parametrize("dim,n", [(2, 32), (3, 16)])
+def test_mg_pcg_convergence(dim, n):
+    """MG-PCG must converge in O(10) iterations, mesh-independently."""
+    levels = build_poisson_multigrid((-3.0, 3.0), n, dim,
+                                     dtype=jnp.float64, coarse_max=4,
+                                     use_pallas=False)
+    top = levels[0]
+    if dim == 2:
+        mesh = rectangle_mesh(-3, 3, -3, 3, n, n)
+        rule = triangle_rule(5)
+        fp = model_problem_2d_planes()
+        exact = model_problem_2d()[1]
+    else:
+        mesh = box_mesh(-3, 3, -3, 3, -3, 3, n, n, n)
+        rule = tetrahedron_rule(3)
+        fp = model_problem_3d_planes()
+        exact = model_problem_3d()[1]
+    X = jnp.asarray(element_coords_bt(mesh, np.float64))
+    be = element_load_bt(X, mesh.cell_type, rule, fp)
+    b = assemble_vector_structured_bt(top.plan, be)
+    b = jnp.where(top.bc_mask, 0, b)
+
+    M = mg_preconditioner(levels, use_pallas=False)
+    mv = lambda v: stencil_matvec(top.data, top.plan.offsets, v)
+    res = cg(mv, b, tol=1e-10, maxiter=60, M=M)
+    assert bool(res.converged), f"relres {float(res.residual_norm)}"
+    assert int(res.iterations) <= 14, f"{int(res.iterations)} iters"
+
+    # plain Jacobi-PCG needs many more iterations on the same system
+    d = jnp.where(top.inv_diag != 0, top.inv_diag, 1.0)
+    res_j = cg(mv, b, tol=1e-10, maxiter=2000, M=lambda r: r * d)
+    assert int(res_j.iterations) > 3 * int(res.iterations)
+
+    # and the answer is right
+    u = np.asarray(top.plan.extract_field(res.x))
+    ue = exact(mesh.coords)
+    rel = np.sqrt(np.mean((u - ue) ** 2)) / np.sqrt(np.mean(ue ** 2))
+    assert rel < (0.01 if dim == 2 else 0.05)
+
+
+def test_vcycle_reduces_error():
+    levels = build_poisson_multigrid((-3.0, 3.0), 16, 2, dtype=jnp.float64,
+                                     coarse_max=4, use_pallas=False)
+    top = levels[0]
+    rng = np.random.default_rng(1)
+    x_true = jnp.asarray(rng.standard_normal(top.plan.num_store_rows))
+    x_true = jnp.where(top.bc_mask, 0, x_true)
+    # zero the embedded border/padding
+    x_true = top.plan.embed_field(top.plan.extract_field(x_true))
+    mv = lambda v: stencil_matvec(top.data, top.plan.offsets, v)
+    b = mv(x_true)
+    e = v_cycle(levels, b, use_pallas=False)   # one cycle from x0 = 0
+    err0 = float(jnp.linalg.norm(x_true))
+    err1 = float(jnp.linalg.norm(x_true - e))
+    assert err1 < 0.2 * err0, (err0, err1)

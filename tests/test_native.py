@@ -1,0 +1,60 @@
+"""Native C++ host library vs the numpy reference implementations."""
+import numpy as np
+import pytest
+
+from tpufem import native
+from tpufem.mesh.adjacency import ell_pattern as np_ell_pattern
+from tpufem.mesh.adjacency import node_adjacency as np_node_adjacency
+from tpufem.mesh.box import box_mesh as np_box_mesh
+from tpufem.mesh.rectangle import rectangle_mesh as np_rectangle_mesh
+
+pytestmark = pytest.mark.skipif(
+    not native.build_native(), reason="native toolchain unavailable")
+
+
+def test_native_rectangle_mesh():
+    mesh = np_rectangle_mesh(-3.0, 3.0, -1.0, 2.0, 5, 7)
+    coords, conn, flags = native.rectangle_mesh(-3.0, 3.0, -1.0, 2.0, 5, 7)
+    np.testing.assert_array_equal(coords, mesh.coords)
+    np.testing.assert_array_equal(conn, mesh.conn)
+    np.testing.assert_array_equal(flags, mesh.node_flags)
+
+
+def test_native_box_mesh():
+    mesh = np_box_mesh(0, 1, 0, 2, -1, 1, 3, 4, 2)
+    coords, conn, flags = native.box_mesh(0, 1, 0, 2, -1, 1, 3, 4, 2)
+    np.testing.assert_array_equal(coords, mesh.coords)
+    np.testing.assert_array_equal(conn, mesh.conn)
+    np.testing.assert_array_equal(flags, mesh.node_flags)
+
+
+def test_native_node_adjacency():
+    mesh = np_rectangle_mesh(0, 1, 0, 1, 6, 4)
+    l_np, i_np = np_node_adjacency(mesh.conn, mesh.num_nodes)
+    l_na, i_na = native.node_adjacency(mesh.conn, mesh.num_nodes)
+    np.testing.assert_array_equal(l_na, l_np)
+    np.testing.assert_array_equal(i_na, i_np)
+
+
+def test_native_node_adjacency_3d():
+    mesh = np_box_mesh(0, 1, 0, 1, 0, 1, 2, 3, 2)
+    l_np, i_np = np_node_adjacency(mesh.conn, mesh.num_nodes)
+    l_na, i_na = native.node_adjacency(mesh.conn, mesh.num_nodes)
+    np.testing.assert_array_equal(l_na, l_np)
+    np.testing.assert_array_equal(i_na, i_np)
+
+
+def test_native_ell_pattern():
+    mesh = np_rectangle_mesh(-1, 1, -1, 1, 4, 5)
+    pat = np_ell_pattern(mesh.conn, mesh.num_nodes, pad_to=8)
+    nnz, cols, diag, slots = native.ell_pattern(mesh.conn, mesh.num_nodes, 8)
+    assert nnz == pat.nnz
+    np.testing.assert_array_equal(cols, pat.cols)
+    np.testing.assert_array_equal(diag, pat.diag_pos)
+    np.testing.assert_array_equal(slots, pat.slots)
+
+
+def test_native_ell_width_too_small():
+    mesh = np_rectangle_mesh(0, 1, 0, 1, 4, 4)
+    with pytest.raises(ValueError, match="width"):
+        native.ell_pattern(mesh.conn, mesh.num_nodes, 3)

@@ -31,18 +31,58 @@ __all__ = ["structured_plan", "assemble_stencil_structured",
 @dataclasses.dataclass(frozen=True)
 class StructuredPlan:
     """For each (t, a, b): target stencil slot k and grid shift of the row
-    node; plus the node-grid strides needed to map shifts to flat offsets."""
+    node; plus the node-grid strides needed to map shifts to flat offsets.
+
+    With ``embedded=True`` all grid fields (stencil data planes, vectors) are
+    stored on ``store_grid``: minor axes are padded with a +1 halo border and
+    rounded up to TPU tile multiples (8 sublanes / 128 lanes), node (i, j, k)
+    living at (i, j+1, k+1).  One layout then serves assembly, the Pallas
+    SpMV (whose DMAs need lane-aligned trailing dims), and every CG vector
+    op; border entries are zero and stay zero through elementwise algebra.
+    """
 
     info: StructuredInfo
-    offsets: tuple                 # stencil offsets (sorted, includes 0)
+    offsets: tuple                 # flat stencil offsets (sorted, includes 0)
+    offsets_grid: tuple            # same offsets as grid tuples (dz, dy, dx)
     # entry_k[t, a, b] -> index into offsets
     entry_k: np.ndarray
-    # entry_shift[t, a, b, :] -> grid offset (node position of local row a)
+    # entry_shift[t, a, b, :] -> grid position of local row a in store_grid
     entry_shift: np.ndarray
+    store_grid: tuple              # storage grid shape (== node_grid if not
+                                   # embedded)
+    embedded: bool = False
 
     @property
     def width(self) -> int:
         return len(self.offsets)
+
+    @property
+    def num_store_rows(self) -> int:
+        return int(np.prod(self.store_grid))
+
+    # -- field embedding helpers (no-ops when not embedded) -----------------
+
+    def embed_field(self, flat, fill=0):
+        """Node field [NN] -> storage field [num_store_rows]."""
+        import jax.numpy as jnp_
+
+        ng = self.info.node_grid
+        if not self.embedded:
+            return jnp_.asarray(flat).reshape(-1)
+        arr = jnp_.asarray(flat).reshape(ng)
+        pads = [(1, self.store_grid[d] - ng[d] - 1) for d in range(len(ng))]
+        return jnp_.pad(arr, pads, constant_values=fill).reshape(-1)
+
+    def extract_field(self, flat_store):
+        """Storage field -> node field [NN]."""
+        import jax.numpy as jnp_
+
+        ng = self.info.node_grid
+        if not self.embedded:
+            return jnp_.asarray(flat_store).reshape(-1)
+        arr = jnp_.asarray(flat_store).reshape(self.store_grid)
+        idx = tuple(slice(1, 1 + ng[d]) for d in range(len(ng)))
+        return arr[idx].reshape(-1)
 
 
 def _node_strides(node_grid):
@@ -53,71 +93,137 @@ def _node_strides(node_grid):
     return tuple(reversed(strides))
 
 
-def structured_plan(mesh: Mesh) -> StructuredPlan:
+def _roundup(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def structured_plan(mesh: Mesh, embed: bool = False) -> StructuredPlan:
+    """Build the shift-invariant assembly plan.
+
+    ``embed=True`` selects the TPU-aligned embedded storage grid (see
+    StructuredPlan docstring) — the production layout for the Pallas SpMV.
+    """
     info = mesh.structured
     if info is None:
         raise ValueError("mesh has no structured-grid metadata")
     off = info.type_node_offsets          # [T, npe, g]
-    strides = np.array(_node_strides(info.node_grid), dtype=np.int64)
+    ng = info.node_grid
+    g = len(ng)
+
+    if embed:
+        # minor axes: +1 halo border both sides, rounded to tile multiples
+        tile = [1] * g
+        if g >= 2:
+            tile[-1] = 128
+        if g >= 3:
+            tile[-2] = 8
+        # every axis gets a +1 halo border; leading axis rounds to 8 so the
+        # Pallas SpMV can pick a power-of-two block, minor axes round to the
+        # (8, 128) tile
+        store_grid = tuple(
+            _roundup(ng[d] + 2, 8) if d == 0 else _roundup(ng[d] + 2, tile[d])
+            for d in range(g))
+        origin = np.ones(g, dtype=np.int64)
+    else:
+        store_grid = tuple(ng)
+        origin = np.zeros(g, dtype=np.int64)
+
+    strides = np.array(_node_strides(store_grid), dtype=np.int64)
     flat = off @ strides                  # [T, npe] flat node offset per local node
     # stencil offset of entry (t, a, b) = flat col - flat row
     ent = flat[:, None, :] - flat[:, :, None]     # [T, a, b] = col - row
     offsets = np.unique(ent)
     entry_k = np.searchsorted(offsets, ent)
-    # row-node grid shift = node offset of local row a, same for all b
+    # grid tuple for each flat offset (grid deltas are in {-1, 0, 1})
+    ent_grid = off[:, None, :, :] - off[:, :, None, :]   # [T, a, b, g] col-row
+    grid_of = {}
+    for t in range(ent.shape[0]):
+        for a in range(ent.shape[1]):
+            for b in range(ent.shape[2]):
+                grid_of[int(ent[t, a, b])] = tuple(
+                    int(v) for v in ent_grid[t, a, b])
+    offsets_grid = tuple(grid_of[int(o)] for o in offsets)
+    # row-node storage position of local row a, same for all b
     t_, npe = flat.shape
-    entry_shift = np.broadcast_to(
-        off[:, :, None, :], (t_, npe, npe, off.shape[2])).copy()
+    entry_shift = (np.broadcast_to(
+        off[:, :, None, :], (t_, npe, npe, g)) + origin).copy()
     return StructuredPlan(info=info, offsets=tuple(int(o) for o in offsets),
-                          entry_k=entry_k, entry_shift=entry_shift)
+                          offsets_grid=offsets_grid,
+                          entry_k=entry_k, entry_shift=entry_shift,
+                          store_grid=store_grid, embedded=embed)
+
+
+def _padded(plane, shift, cell_grid, node_grid):
+    """Zero-pad a cell-grid plane into node-grid position ``shift``."""
+    pads = [(int(shift[d]), node_grid[d] - cell_grid[d] - int(shift[d]))
+            for d in range(len(node_grid))]
+    return jnp.pad(plane, pads)
+
+
+def _sum_per_offset(plan: StructuredPlan, plane_of, dtype):
+    """data[k] = sum over entries with stencil offset k of their padded
+    contribution planes.
+
+    Built as jnp.pad + add chains per offset — pure elementwise graph that
+    XLA fuses into one streaming kernel per offset.  (A single [K, *node
+    _grid] buffer updated with .at[].add would copy the *whole* buffer per
+    update: measured ~8x slower at 1M DOFs.)
+    """
+    info = plan.info
+    cg, sg = info.cell_grid, plan.store_grid
+    T = info.num_types
+    npe = info.type_node_offsets.shape[1]
+    planes = [None] * plan.width
+    for t in range(T):
+        for a in range(npe):
+            for b in range(npe):
+                k = int(plan.entry_k[t, a, b])
+                p = _padded(plane_of(t, a, b), plan.entry_shift[t, a, b],
+                            cg, sg)
+                planes[k] = p if planes[k] is None else planes[k] + p
+    n = int(np.prod(sg))
+    zero = jnp.zeros(sg, dtype)
+    return jnp.stack([p if p is not None else zero
+                      for p in planes]).reshape(plan.width, n)
 
 
 def assemble_stencil_structured(plan: StructuredPlan, element_matrices
                                 ) -> StencilMatrix:
-    """Ke [NE, npe, npe] -> StencilMatrix via static slice-adds.
+    """Ke [NE, npe, npe] -> StencilMatrix via shift-invariant pad+sum.
 
     Elements must be in generator order: cell-major, T types interleaved.
     """
     info = plan.info
     T = info.num_types
     npe = info.type_node_offsets.shape[1]
-    cg = info.cell_grid
-    ng = info.node_grid
-    KeT = element_matrices.reshape(*cg, T, npe, npe)
+    KeT = element_matrices.reshape(*info.cell_grid, T, npe, npe)
+    data = _sum_per_offset(plan, lambda t, a, b: KeT[..., t, a, b],
+                           element_matrices.dtype)
+    return StencilMatrix(data, plan.offsets)
 
-    g = len(ng)
-    K = plan.width
-    data = jnp.zeros((K,) + ng, element_matrices.dtype)
+
+def _sum_vector(plan: StructuredPlan, plane_of, dtype):
+    info = plan.info
+    cg, sg = info.cell_grid, plan.store_grid
+    T = info.num_types
+    npe = info.type_node_offsets.shape[1]
+    origin = plan.entry_shift[0, 0, 0] - info.type_node_offsets[0, 0]
+    b = None
     for t in range(T):
         for a in range(npe):
-            for b in range(npe):
-                k = int(plan.entry_k[t, a, b])
-                sh = plan.entry_shift[t, a, b]
-                idx = (k,) + tuple(
-                    slice(int(sh[d]), int(sh[d]) + cg[d]) for d in range(g))
-                data = data.at[idx].add(KeT[..., t, a, b])
-    n = int(np.prod(ng))
-    return StencilMatrix(data.reshape(K, n), plan.offsets)
+            p = _padded(plane_of(t, a),
+                        info.type_node_offsets[t, a] + origin, cg, sg)
+            b = p if b is None else b + p
+    return b.reshape(-1)
 
 
 def assemble_vector_structured(plan: StructuredPlan, element_vectors):
-    """be [NE, npe] -> global RHS [NN] via the same static slice-adds."""
+    """be [NE, npe] -> global RHS [NN] via shift-invariant pad+sum."""
     info = plan.info
-    T = info.num_types
-    npe = info.type_node_offsets.shape[1]
-    cg = info.cell_grid
-    ng = info.node_grid
-    beT = element_vectors.reshape(*cg, T, npe)
-
-    g = len(ng)
-    b = jnp.zeros(ng, element_vectors.dtype)
-    for t in range(T):
-        for a in range(npe):
-            sh = info.type_node_offsets[t, a]
-            idx = tuple(
-                slice(int(sh[d]), int(sh[d]) + cg[d]) for d in range(g))
-            b = b.at[idx].add(beT[..., t, a])
-    return b.reshape(-1)
+    beT = element_vectors.reshape(
+        *info.cell_grid, info.num_types, info.type_node_offsets.shape[1])
+    return _sum_vector(plan, lambda t, a: beT[..., t, a],
+                       element_vectors.dtype)
 
 
 def assemble_stencil_structured_bt(plan: StructuredPlan, Ke_bt
@@ -125,42 +231,13 @@ def assemble_stencil_structured_bt(plan: StructuredPlan, Ke_bt
     """Batch-trailing variant: Ke_bt [T, npe, npe, *cell_grid]
     (tpufem.assemble.planar layout) -> StencilMatrix.  Avoids the tiny
     -trailing-dim tiling waste of the [NE, npe, npe] layout entirely."""
-    info = plan.info
-    T = info.num_types
-    npe = info.type_node_offsets.shape[1]
-    cg = info.cell_grid
-    ng = info.node_grid
-    g = len(ng)
-    K = plan.width
-    data = jnp.zeros((K,) + ng, Ke_bt.dtype)
-    for t in range(T):
-        for a in range(npe):
-            for b in range(npe):
-                k = int(plan.entry_k[t, a, b])
-                sh = plan.entry_shift[t, a, b]
-                idx = (k,) + tuple(
-                    slice(int(sh[d]), int(sh[d]) + cg[d]) for d in range(g))
-                data = data.at[idx].add(Ke_bt[t, a, b])
-    n = int(np.prod(ng))
-    return StencilMatrix(data.reshape(K, n), plan.offsets)
+    data = _sum_per_offset(plan, lambda t, a, b: Ke_bt[t, a, b], Ke_bt.dtype)
+    return StencilMatrix(data, plan.offsets)
 
 
 def assemble_vector_structured_bt(plan: StructuredPlan, be_bt):
     """Batch-trailing RHS: be_bt [T, npe, *cell_grid] -> [NN]."""
-    info = plan.info
-    T = info.num_types
-    npe = info.type_node_offsets.shape[1]
-    cg = info.cell_grid
-    ng = info.node_grid
-    g = len(ng)
-    b = jnp.zeros(ng, be_bt.dtype)
-    for t in range(T):
-        for a in range(npe):
-            sh = info.type_node_offsets[t, a]
-            idx = tuple(
-                slice(int(sh[d]), int(sh[d]) + cg[d]) for d in range(g))
-            b = b.at[idx].add(be_bt[t, a])
-    return b.reshape(-1)
+    return _sum_vector(plan, lambda t, a: be_bt[t, a], be_bt.dtype)
 
 
 def stencil_pattern_structured(mesh: Mesh) -> StencilPattern:

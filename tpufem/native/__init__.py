@@ -1,0 +1,139 @@
+"""ctypes loader for the native host library (meshgen.cpp).
+
+The reference's host layer is C++ (mesh classes, neighbor-list builder —
+SURVEY.md §2.3); tpufem keeps that parity with a small C-ABI shared object
+for the host-side hot loops (mesh generation, adjacency/ELL precompute).
+Pure-numpy implementations in tpufem.mesh remain the fallback and the
+executable specification.
+
+Usage:
+    from tpufem import native
+    native.build_native()            # compile once (g++)
+    if native.available():
+        lengths, idx = native.node_adjacency(conn, nn)
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libtpufem_native.so")
+_lib: Optional[ctypes.CDLL] = None
+
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+
+def build_native(force: bool = False) -> bool:
+    """Compile the shared library with make/g++. Returns success."""
+    if os.path.exists(_SO) and not force:
+        return True
+    try:
+        subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+                       capture_output=True)
+        return os.path.exists(_SO)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO) and not build_native():
+        return None
+    lib = ctypes.CDLL(_SO)
+    lib.tpufem_rectangle_mesh.argtypes = [
+        ctypes.c_double] * 4 + [ctypes.c_int64] * 2 + [_f64p, _i32p, _i32p]
+    lib.tpufem_rectangle_mesh.restype = None
+    lib.tpufem_box_mesh.argtypes = [
+        ctypes.c_double] * 6 + [ctypes.c_int64] * 3 + [_f64p, _i32p, _i32p]
+    lib.tpufem_box_mesh.restype = None
+    lib.tpufem_node_adjacency.argtypes = [
+        _i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_int32, _i32p, ctypes.c_void_p]
+    lib.tpufem_node_adjacency.restype = ctypes.c_int32
+    lib.tpufem_ell_pattern.argtypes = [
+        _i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_int32, _i32p, _i32p, _i32p]
+    lib.tpufem_ell_pattern.restype = ctypes.c_int64
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def rectangle_mesh(x0, x1, y0, y1, n_row, n_col):
+    """Native structured rectangle mesh -> (coords, conn, flags)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (run build_native())")
+    nn = (n_row + 1) * (n_col + 1)
+    ne = 2 * n_row * n_col
+    coords = np.empty((nn, 2), np.float64)
+    conn = np.empty((ne, 3), np.int32)
+    flags = np.empty(nn, np.int32)
+    lib.tpufem_rectangle_mesh(x0, x1, y0, y1, n_row, n_col,
+                              coords, conn, flags)
+    return coords, conn, flags
+
+
+def box_mesh(x0, x1, y0, y1, z0, z1, nx, ny, nz):
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (run build_native())")
+    nn = (nx + 1) * (ny + 1) * (nz + 1)
+    ne = 6 * nx * ny * nz
+    coords = np.empty((nn, 3), np.float64)
+    conn = np.empty((ne, 4), np.int32)
+    flags = np.empty(nn, np.int32)
+    lib.tpufem_box_mesh(x0, x1, y0, y1, z0, z1, nx, ny, nz,
+                        coords, conn, flags)
+    return coords, conn, flags
+
+
+def node_adjacency(conn: np.ndarray, num_nodes: int,
+                   max_length: int | None = None):
+    """Native per-node neighbor lists (parity with
+    tpufem.mesh.adjacency.node_adjacency)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (run build_native())")
+    conn = np.ascontiguousarray(conn, np.int32)
+    ne, npe = conn.shape
+    lengths = np.empty(num_nodes, np.int32)
+    if max_length is None:
+        maxdeg = lib.tpufem_node_adjacency(conn, ne, npe, num_nodes, 0,
+                                           lengths, None)
+        max_length = int(maxdeg)
+    indices = np.empty((num_nodes, max_length), np.int32)
+    got = lib.tpufem_node_adjacency(
+        conn, ne, npe, num_nodes, max_length, lengths,
+        indices.ctypes.data_as(ctypes.c_void_p))
+    if got > max_length:
+        raise ValueError(f"max_length={max_length} < max degree {got}")
+    return lengths, indices
+
+
+def ell_pattern(conn: np.ndarray, num_nodes: int, width: int):
+    """Native ELL cols/diag/slots. Returns (nnz, cols, diag_pos, slots)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (run build_native())")
+    conn = np.ascontiguousarray(conn, np.int32)
+    ne, npe = conn.shape
+    cols = np.empty((num_nodes, width), np.int32)
+    diag = np.empty(num_nodes, np.int32)
+    slots = np.empty((ne, npe, npe), np.int32)
+    nnz = lib.tpufem_ell_pattern(conn, ne, npe, num_nodes, width,
+                                 cols, diag, slots)
+    if nnz < 0:
+        raise ValueError(f"width {width} smaller than max row degree")
+    return int(nnz), cols, diag, slots

@@ -1,0 +1,177 @@
+// tpufem native host library: mesh generation + adjacency/ELL precompute.
+//
+// The CUDA reference implements its host layer in C++ (mesh classes,
+// RectangleMesh::generate /root/reference/fea_test.cu:86-132, neighbor-list
+// builder Mesh::getNeighborNodesList
+// /root/reference/fea_test_sm_sym_sparse2.cu:72-100, SoA packing loops).
+// This library provides the same host logic as a C-ABI shared object loaded
+// via ctypes; the pure-numpy implementations in tpufem.mesh remain as a
+// fallback and as the executable specification both are tested against.
+//
+// Build: make -C tpufem/native  (or tpufem.native.build_native()).
+
+#include <algorithm>
+#include <cstdint>
+#include <vector>
+
+extern "C" {
+
+// Structured rectangle mesh: (nrow+1)*(ncol+1) nodes, 2 triangles per cell,
+// exact reference numbering/flags/split (fea_test.cu:86-132).
+void tpufem_rectangle_mesh(double x0, double x1, double y0, double y1,
+                           int64_t nrow, int64_t ncol,
+                           double* coords,   // [NN*2]
+                           int32_t* conn,    // [NE*3]
+                           int32_t* flags) { // [NN]
+  const int64_t nc1 = ncol + 1, nr1 = nrow + 1;
+  const double stepx = (x1 - x0) / ncol;
+  const double stepy = (y1 - y0) / nrow;
+  for (int64_t i = 0; i < nr1; ++i) {
+    for (int64_t j = 0; j < nc1; ++j) {
+      const int64_t n = i * nc1 + j;
+      coords[2 * n] = x0 + j * stepx;
+      coords[2 * n + 1] = y0 + i * stepy;
+      flags[n] = (i == 0 || i == nrow || j == 0 || j == ncol) ? 1 : 0;
+    }
+  }
+  int64_t e = 0;
+  for (int64_t i = 0; i < nrow; ++i) {
+    for (int64_t j = 0; j < ncol; ++j) {
+      const int32_t n = static_cast<int32_t>(i * nc1 + j);
+      const int32_t nc1i = static_cast<int32_t>(nc1);
+      conn[3 * e] = n; conn[3 * e + 1] = n + 1; conn[3 * e + 2] = n + nc1i;
+      ++e;
+      conn[3 * e] = n + 1; conn[3 * e + 1] = n + nc1i + 1;
+      conn[3 * e + 2] = n + nc1i;
+      ++e;
+    }
+  }
+}
+
+// Structured box mesh: 6 Kuhn tets per cube (tpufem.mesh.box semantics).
+void tpufem_box_mesh(double x0, double x1, double y0, double y1,
+                     double z0, double z1,
+                     int64_t nx, int64_t ny, int64_t nz,
+                     double* coords,   // [NN*3]
+                     int32_t* conn,    // [NE*4]
+                     int32_t* flags) { // [NN]
+  const int64_t nx1 = nx + 1, ny1 = ny + 1, nz1 = nz + 1;
+  const double dx = (x1 - x0) / nx, dy = (y1 - y0) / ny, dz = (z1 - z0) / nz;
+  for (int64_t i = 0; i < nz1; ++i)
+    for (int64_t j = 0; j < ny1; ++j)
+      for (int64_t k = 0; k < nx1; ++k) {
+        const int64_t n = (i * ny1 + j) * nx1 + k;
+        coords[3 * n] = x0 + k * dx;
+        coords[3 * n + 1] = y0 + j * dy;
+        coords[3 * n + 2] = z0 + i * dz;
+        flags[n] = (i == 0 || i == nz || j == 0 || j == ny ||
+                    k == 0 || k == nx) ? 1 : 0;
+      }
+  // 6 Kuhn tets: axis-order permutations of the path v000 -> v111.
+  static const int perms[6][3] = {{0, 1, 2}, {0, 2, 1}, {1, 0, 2},
+                                  {1, 2, 0}, {2, 0, 1}, {2, 1, 0}};
+  int64_t e = 0;
+  for (int64_t i = 0; i < nz; ++i)
+    for (int64_t j = 0; j < ny; ++j)
+      for (int64_t k = 0; k < nx; ++k)
+        for (int t = 0; t < 6; ++t) {
+          int64_t c[3] = {i, j, k};
+          conn[4 * e] = static_cast<int32_t>((c[0] * ny1 + c[1]) * nx1 + c[2]);
+          for (int v = 0; v < 3; ++v) {
+            c[perms[t][v]] += 1;
+            conn[4 * e + 1 + v] =
+                static_cast<int32_t>((c[0] * ny1 + c[1]) * nx1 + c[2]);
+          }
+          ++e;
+        }
+}
+
+namespace {
+
+// Sorted unique (row, col) pairs of the FEM sparsity pattern.
+void unique_pairs(const int32_t* conn, int64_t ne, int32_t npe, int64_t nn,
+                  std::vector<int64_t>& keys_out) {
+  keys_out.clear();
+  keys_out.reserve(static_cast<size_t>(ne) * npe * npe);
+  for (int64_t e = 0; e < ne; ++e)
+    for (int32_t a = 0; a < npe; ++a)
+      for (int32_t b = 0; b < npe; ++b)
+        keys_out.push_back(
+            static_cast<int64_t>(conn[e * npe + a]) * nn + conn[e * npe + b]);
+  std::sort(keys_out.begin(), keys_out.end());
+  keys_out.erase(std::unique(keys_out.begin(), keys_out.end()),
+                 keys_out.end());
+}
+
+}  // namespace
+
+// Per-node neighbor lists (incl. self, sorted), fixed width; padding = own
+// index.  Parity: getNeighborNodesList
+// (/root/reference/fea_test_sm_sym_sparse2.cu:72-100).
+// Returns the max row degree; if max_len < max degree, nothing is written.
+int32_t tpufem_node_adjacency(const int32_t* conn, int64_t ne, int32_t npe,
+                              int64_t nn, int32_t max_len,
+                              int32_t* lengths,   // [NN]
+                              int32_t* indices) { // [NN * max_len] or null
+  std::vector<int64_t> keys;
+  unique_pairs(conn, ne, npe, nn, keys);
+  std::vector<int32_t> deg(static_cast<size_t>(nn), 0);
+  for (int64_t k : keys) ++deg[static_cast<size_t>(k / nn)];
+  int32_t maxdeg = 0;
+  for (int64_t i = 0; i < nn; ++i) maxdeg = std::max(maxdeg, deg[i]);
+  if (indices == nullptr || max_len < maxdeg) {
+    for (int64_t i = 0; i < nn; ++i) lengths[i] = deg[i];
+    return maxdeg;
+  }
+  for (int64_t i = 0; i < nn; ++i) {
+    lengths[i] = deg[i];
+    for (int32_t s = 0; s < max_len; ++s)
+      indices[i * max_len + s] = static_cast<int32_t>(i);
+  }
+  int64_t pos = 0;
+  for (int64_t idx = 0; idx < static_cast<int64_t>(keys.size()); ++idx) {
+    const int64_t row = keys[idx] / nn, col = keys[idx] % nn;
+    if (idx > 0 && keys[idx - 1] / nn == row) ++pos; else pos = 0;
+    indices[row * max_len + pos] = static_cast<int32_t>(col);
+  }
+  return maxdeg;
+}
+
+// ELL pattern + per-entry slots (replaces the reference's per-entry linear
+// search, fea_test_sm_sym_sparse2.cu:277-281).  cols [NN*K] (padding = own
+// row), diag_pos [NN], slots [NE*npe*npe] flat (row*K + within-row pos).
+// Returns nnz, or -1 if K is smaller than the max row degree.
+int64_t tpufem_ell_pattern(const int32_t* conn, int64_t ne, int32_t npe,
+                           int64_t nn, int32_t K,
+                           int32_t* cols, int32_t* diag_pos, int32_t* slots) {
+  std::vector<int64_t> keys;
+  unique_pairs(conn, ne, npe, nn, keys);
+  std::vector<int64_t> row_start(static_cast<size_t>(nn) + 1, 0);
+  for (int64_t k : keys) ++row_start[static_cast<size_t>(k / nn) + 1];
+  for (int64_t i = 0; i < nn; ++i) {
+    if (row_start[i + 1] > K) return -1;
+    row_start[i + 1] += row_start[i];
+  }
+  for (int64_t i = 0; i < nn; ++i)
+    for (int32_t s = 0; s < K; ++s)
+      cols[i * K + s] = static_cast<int32_t>(i);
+  for (int64_t idx = 0; idx < static_cast<int64_t>(keys.size()); ++idx) {
+    const int64_t row = keys[idx] / nn, col = keys[idx] % nn;
+    const int64_t pos = idx - row_start[row];
+    cols[row * K + pos] = static_cast<int32_t>(col);
+    if (row == col) diag_pos[row] = static_cast<int32_t>(pos);
+  }
+  for (int64_t e = 0; e < ne; ++e)
+    for (int32_t a = 0; a < npe; ++a)
+      for (int32_t b = 0; b < npe; ++b) {
+        const int64_t row = conn[e * npe + a];
+        const int64_t key = row * nn + conn[e * npe + b];
+        const int64_t u = static_cast<int64_t>(
+            std::lower_bound(keys.begin(), keys.end(), key) - keys.begin());
+        slots[(e * npe + a) * npe + b] =
+            static_cast<int32_t>(row * K + (u - row_start[row]));
+      }
+  return static_cast<int64_t>(keys.size());
+}
+
+}  // extern "C"

@@ -1,0 +1,147 @@
+"""Pallas TPU kernel: fused grid-stencil SpMV on the embedded layout.
+
+The XLA formulation of the stencil matvec (tpufem.sparse.stencil) re-reads
+the solution vector once per offset (K = 7/15 passes over x), capping it well
+below HBM speed-of-light.  This kernel reads each x block (plus its two
+leading-axis neighbors for the halo) into VMEM once and applies all K
+offset-diagonals from that copy:
+
+    traffic = K*NN (coefficients, mandatory) + 3*NN (x) + NN (y)
+
+It plays the role the reference's shared-memory staging plays for its CUDA
+kernels (/root/reference/fea_test_sm.cu:206-228), recast as Pallas block
+pipelining.
+
+Layout contract (tpufem.assemble.structured, ``structured_plan(embed=True)``):
+fields live on the *embedded* storage grid — every axis carries a built-in
+zero halo border, minor axes are padded to (8, 128) tile multiples and the
+leading axis to a multiple of 8, node (i, j, k) living at (i+1, j+1, k+1).
+Consequences exploited here:
+
+  * the x halo along the leading axis comes from the previous/next block of
+    the same array via three overlapping BlockSpecs — Pallas double-buffers
+    all streams, no manual DMA;
+  * edge blocks clamp their neighbor index; the rows that would need the
+    out-of-range halo are border rows whose coefficients are zero, so the
+    wrong halo values are multiplied away;
+  * minor-axis stencil shifts are lane/sublane rolls of VMEM values; roll
+    wraparound lands only on border columns whose coefficients are zero;
+  * no repacking: the same arrays flow through assembly, SpMV and all CG
+    vector algebra.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["stencil_matvec_embedded", "pick_block_lead"]
+
+
+def _shifted(base, off_minor):
+    """Shift a VMEM-loaded value by grid deltas on the minor axes via rolls.
+
+    out[pos] = base[pos + d] per axis — wraparound writes only into border
+    slots, which multiply zero coefficients.
+    """
+    out = base
+    g = base.ndim
+    for ax, d in enumerate(off_minor, start=g - len(off_minor)):
+        if d:
+            out = pltpu.roll(out, (-d) % base.shape[ax], ax)
+    return out
+
+
+def _kernel(data_ref, xm_ref, x0_ref, xp_ref, y_ref, *, offsets_grid,
+            block_lead):
+    # assemble the haloed slab [B+2, ...] from the three neighbor blocks
+    xv = jnp.concatenate(
+        [xm_ref[-1:], x0_ref[...], xp_ref[:1]], axis=0)
+    # per-offset rolls on the sliced base: measured faster than hoisting
+    # shared rolled slabs (which costs VMEM pressure / pipeline buffers)
+    acc = None
+    for k, off in enumerate(offsets_grid):
+        dz, minor = off[0], off[1:]
+        base = jax.lax.slice_in_dim(xv, 1 + dz, 1 + dz + block_lead, axis=0)
+        term = data_ref[k] * _shifted(base, minor)
+        acc = term if acc is None else acc + term
+    y_ref[...] = acc
+
+
+def pick_block_lead(store_grid, width, dtype_bytes=4,
+                    vmem_budget=5 << 20) -> int:
+    """Largest leading-axis block that divides the grid and fits VMEM
+    (streams are double-buffered: data K*B + 3 x blocks + y, times 2)."""
+    lead = store_grid[0]
+    rest = int(np.prod(store_grid[1:])) if len(store_grid) > 1 else 1
+    best = 1
+    b = 1
+    while b * 2 <= lead:
+        b *= 2
+        if lead % b:
+            break
+        bytes_needed = 2 * (width * b + 4 * b) * rest * dtype_bytes
+        if bytes_needed > vmem_budget:
+            break
+        best = b
+    return best
+
+
+def stencil_matvec_embedded(data, x, plan, *, block_lead: int | None = None,
+                            interpret: bool = False):
+    """y = A x on the embedded storage layout.
+
+    data: [K, num_store_rows] (StencilMatrix.data from an embed=True plan);
+    x:    [num_store_rows]; returns y [num_store_rows].
+    """
+    if not plan.embedded:
+        raise ValueError("plan must be built with structured_plan(embed=True)")
+    sg = plan.store_grid
+    g = len(sg)
+    K = data.shape[0]
+    offsets_grid = plan.offsets_grid
+
+    if block_lead is None:
+        block_lead = pick_block_lead(sg, K, np.dtype(data.dtype).itemsize)
+    if sg[0] % block_lead:
+        raise ValueError(f"leading dim {sg[0]} not divisible by block "
+                         f"{block_lead}")
+    nblk = sg[0] // block_lead
+
+    data_g = data.reshape((K,) + sg)
+    x_g = x.reshape(sg)
+
+    zeros = (0,) * (g - 1)
+    xblock = (block_lead,) + sg[1:]
+
+    def xmap_prev(i):
+        return (jnp.maximum(i - 1, 0),) + zeros
+
+    def xmap_cur(i):
+        return (i,) + zeros
+
+    def xmap_next(i):
+        return (jnp.minimum(i + 1, nblk - 1),) + zeros
+
+    kern = functools.partial(_kernel, offsets_grid=offsets_grid,
+                             block_lead=block_lead)
+    y = pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((K,) + xblock, lambda i: (0, i) + zeros,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(xblock, xmap_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec(xblock, xmap_cur, memory_space=pltpu.VMEM),
+            pl.BlockSpec(xblock, xmap_next, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(xblock, xmap_cur, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(sg, data.dtype),
+        interpret=interpret,
+    )(data_g, x_g, x_g, x_g)
+    return y.reshape(-1)

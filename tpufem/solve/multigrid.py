@@ -1,0 +1,304 @@
+"""Geometric multigrid for structured meshes — the TPU-native fast solver.
+
+No counterpart in the reference (it has no solver at all); this is the
+framework's answer to "CG time-to-tol" on the BASELINE configs: a V-cycle
+preconditioner whose every operation is a stencil/grid op (weighted-Jacobi
+smoothing via the fused Pallas SpMV, slice-based transfer operators, one MXU
+matmul on the coarsest level) — no gathers, no scatters, no host syncs.
+
+Nesting is exact: both structured generators refine self-similarly under
+grid halving (the 2D anti-diagonal split and the 3D Kuhn split), so every
+non-coarse fine node lies on a coarse edge/diagonal and P1 interpolation is
+a 2-point average along it:
+
+  * edge midpoints           -> average of the edge's endpoints
+  * 2D cell centers          -> average along the anti-diagonal
+                                ((i, j+1), (i+1, j)) of the cell split
+  * 3D face/cell centers     -> average along the face/main diagonal
+                                (low corner, high corner) of the Kuhn split
+
+With this exact P and nested spaces, the rediscretized coarse operator
+equals the Galerkin operator P^T A P, giving textbook MG convergence; the
+V-cycle (symmetric Jacobi smoothing, R = P^T up to scaling absorbed by the
+rediscretization) is SPD and valid as a CG preconditioner.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpufem.assemble.planar import (element_coords_bt, element_load_bt,
+                                    p1_stiffness_bt)
+from tpufem.assemble.structured import (StructuredPlan,
+                                        assemble_stencil_structured_bt,
+                                        structured_plan)
+from tpufem.mesh.box import box_mesh
+from tpufem.mesh.rectangle import rectangle_mesh
+from tpufem.ops.stencil_pallas import pick_block_lead, stencil_matvec_embedded
+from tpufem.solve.bc import apply_dirichlet_stencil
+from tpufem.sparse.stencil import StencilMatrix, stencil_matvec
+
+__all__ = ["prolong", "restrict", "MGLevel", "build_poisson_multigrid",
+           "v_cycle", "mg_preconditioner"]
+
+
+# -- transfer operators on plain node grids ---------------------------------
+#
+# The P1 interpolation weights *are* the mesh adjacency stencil (1 at the
+# node, 1/2 at each neighbor along the split diagonals).  Factorization used
+# here, chosen for TPU:
+#
+#     P   = W ∘ inject2      (zero-inject coarse into even positions, then
+#                             apply the constant-weight adjacency stencil W)
+#     P^T = sample2 ∘ W      (W symmetric; sample even positions)
+#
+# The injection proof: after zero-injection only even (coarse) positions are
+# nonzero; an even output point keeps its own value (weight 1, all stencil
+# neighbors odd = 0); every odd point's stencil hits exactly its two even
+# diagonal endpoints (weight 1/2 each) — which is precisely P1 interpolation
+# on the split meshes.
+#
+# W is pads + unit-stride slices (no strided memory access); inject2/sample2
+# are per-axis matmuls with 0/1 selection matrices — MXU work, exact in fp32
+# at HIGHEST precision.  Strided .at[::2] formulations and single-channel
+# XLA convolutions both measured orders of magnitude slower on TPU.
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _stencil_offsets(dim: int):
+    if dim == 2:
+        # 7-point: axes + the anti-diagonal of the 2D cell split
+        return [(-1, 0), (1, 0), (0, -1), (0, 1), (-1, 1), (1, -1)]
+    if dim == 3:
+        # 15-point: axes + Kuhn face diagonals + main diagonal
+        return [(-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0),
+                (0, 0, -1), (0, 0, 1),
+                (-1, -1, 0), (1, 1, 0), (-1, 0, -1), (1, 0, 1),
+                (0, -1, -1), (0, 1, 1), (-1, -1, -1), (1, 1, 1)]
+    raise NotImplementedError(f"dim {dim}")
+
+
+def _transfer_stencil(x):
+    """y = x + 0.5 * sum of adjacency-shifted x (constant weights)."""
+    dim = x.ndim
+    xp = jnp.pad(x, [(1, 1)] * dim)
+    acc = x
+    for off in _stencil_offsets(dim):
+        sl = tuple(slice(1 + o, 1 + o + s) for o, s in zip(off, x.shape))
+        acc = acc + 0.5 * xp[sl]
+    return acc
+
+
+def _sample_matrix(nf: int, dtype):
+    """S [nf, nc] with S[2i, i] = 1 — even-position selector."""
+    nc = (nf + 1) // 2
+    S = np.zeros((nf, nc))
+    S[2 * np.arange(nc), np.arange(nc)] = 1.0
+    return jnp.asarray(S, dtype)
+
+
+def _apply_axis_matmul(x, M, axis):
+    moved = jnp.moveaxis(x, axis, -1)
+    out = jnp.matmul(moved, M, precision=_HI)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def _sample2(x):
+    """Even-position decimation along every axis (fine -> coarse shape)."""
+    for ax in range(x.ndim):
+        x = _apply_axis_matmul(x, _sample_matrix(x.shape[ax], x.dtype), ax)
+    return x
+
+
+def _inject2(x):
+    """Zero-injection along every axis (coarse -> fine shape, adjoint of
+    _sample2)."""
+    for ax in range(x.ndim):
+        nf = 2 * x.shape[ax] - 1
+        x = _apply_axis_matmul(x, _sample_matrix(nf, x.dtype).T, ax)
+    return x
+
+
+def prolong(xc, dim: int):
+    """P1-exact prolongation coarse [n+1]^d -> fine [2n+1]^d grids."""
+    assert xc.ndim == dim
+    return _transfer_stencil(_inject2(xc))
+
+
+def restrict(rf, dim: int):
+    """R = P^T: adjoint of ``prolong`` (fine [2n+1]^d -> coarse [n+1]^d)."""
+    assert rf.ndim == dim
+    return _sample2(_transfer_stencil(rf))
+
+
+# -- hierarchy ----------------------------------------------------------------
+
+@dataclasses.dataclass
+class MGLevel:
+    plan: StructuredPlan
+    data: jax.Array               # embedded stencil values [K, NS]
+    inv_diag: jax.Array           # embedded
+    bc_mask: jax.Array            # embedded bool
+    block_lead: int
+    coarse_inverse: Optional[jax.Array] = None   # dense [NN, NN], coarsest
+
+
+def _matvec(level: MGLevel, x, use_pallas: bool):
+    if use_pallas:
+        return stencil_matvec_embedded(level.data, x, level.plan,
+                                       block_lead=level.block_lead)
+    return stencil_matvec(level.data, level.plan.offsets, x)
+
+
+def build_poisson_multigrid(domain, n_cells: int, dim: int, *,
+                            levels: Optional[int] = None,
+                            dtype=jnp.float32, coarse_max: int = 8,
+                            use_pallas: bool = True) -> List[MGLevel]:
+    """Hierarchy of embedded stencil Poisson operators on (domain)^dim.
+
+    n_cells must be divisible by 2^(levels-1); levels defaults to halving
+    until the grid is <= coarse_max cells per side.  The coarsest level gets
+    a precomputed dense inverse (one MXU matmul per V-cycle).
+    """
+    lo, hi = domain
+    sizes = [n_cells]
+    while (sizes[-1] % 2 == 0 and sizes[-1] > coarse_max
+           and (levels is None or len(sizes) < levels)):
+        sizes.append(sizes[-1] // 2)
+
+    # Setup runs on the CPU backend: the assembly graphs are hundreds of ops,
+    # and on the remote TPU eager dispatch costs ~30 ms/op (minutes per
+    # level), while CPU eager finishes in seconds.  Results are device_put
+    # to the default (TPU) device at the end.
+    cpu = jax.devices("cpu")[0]
+    default = jax.devices()[0]
+
+    out: List[MGLevel] = []
+    for li, s in enumerate(sizes):
+        if dim == 2:
+            mesh = rectangle_mesh(lo, hi, lo, hi, s, s)
+        else:
+            mesh = box_mesh(lo, hi, lo, hi, lo, hi, s, s, s)
+        plan = structured_plan(mesh, embed=True)
+        with jax.default_device(cpu):
+            X = jnp.asarray(element_coords_bt(mesh, np.dtype(dtype).type))
+            Ke = p1_stiffness_bt(X, mesh.cell_type)
+            A = assemble_stencil_structured_bt(plan, Ke)
+            bc = plan.embed_field(jnp.asarray(mesh.node_flags != 0),
+                                  fill=False)
+            b0 = jnp.zeros(plan.num_store_rows, dtype)
+            A, _ = apply_dirichlet_stencil(A, b0, bc)
+            d = A.diagonal()
+            inv_d = jnp.where(d != 0, 1.0 / d, 1.0)
+        level = MGLevel(plan=plan,
+                        data=jax.device_put(A.data, default),
+                        inv_diag=jax.device_put(inv_d, default),
+                        bc_mask=jax.device_put(bc, default),
+                        block_lead=pick_block_lead(plan.store_grid,
+                                                   plan.width),
+                        coarse_inverse=None)
+        out.append(level)
+
+    # dense inverse on the coarsest level (tiny); if halving stopped early
+    # (odd size) and the coarsest grid is big, fall back to extra Jacobi
+    # sweeps there (still linear + symmetric, so PCG stays valid)
+    last = out[-1]
+    nn = int(np.prod(last.plan.info.node_grid))
+    if nn > 20_000:
+        return out
+    dense = np.zeros((nn, nn), np.float64)
+    data_np = np.asarray(last.data, np.float64)
+    ns = last.plan.num_store_rows
+    node_of = _store_to_node_map(last.plan)        # [NS], -1 on border
+    store_idx = np.arange(ns)
+    for k, off in enumerate(last.plan.offsets):
+        c = store_idx + off
+        valid = (c >= 0) & (c < ns)
+        ri = node_of[store_idx]
+        ci = node_of[np.clip(c, 0, ns - 1)]
+        m = valid & (ri >= 0) & (ci >= 0) & (data_np[k] != 0)
+        np.add.at(dense, (ri[m], ci[m]), data_np[k][m])
+    inv = np.linalg.inv(dense)
+    last.coarse_inverse = jnp.asarray(inv, dtype)
+    return out
+
+
+def _store_to_node_map(plan: StructuredPlan) -> np.ndarray:
+    """[num_store_rows] -> node index, -1 on border/padding positions."""
+    sg, ng = plan.store_grid, plan.info.node_grid
+    g = len(sg)
+    coords = np.stack(np.meshgrid(
+        *[np.arange(s) for s in sg], indexing="ij"), axis=-1)  # [*sg, g]
+    pos = coords - 1                                            # origin 1
+    valid = np.ones(sg, bool)
+    node = np.zeros(sg, np.int64)
+    for d in range(g):
+        p = pos[..., d]
+        valid &= (p >= 0) & (p < ng[d])
+        node = node * ng[d] + np.clip(p, 0, ng[d] - 1)
+    return np.where(valid, node, -1).reshape(-1)
+
+
+def _grid(level: MGLevel, x_store):
+    """Extract embedded field -> plain node grid [ng]."""
+    return level.plan.extract_field(x_store).reshape(level.plan.info.node_grid)
+
+
+def _store(level: MGLevel, x_grid):
+    return level.plan.embed_field(x_grid.reshape(-1))
+
+
+def v_cycle(levels: List[MGLevel], r, *, li: int = 0, nu1: int = 2,
+            nu2: int = 2, omega: float = 0.8, use_pallas: bool = True):
+    """One V-cycle for A e = r on level li (embedded vectors). Returns e."""
+    level = levels[li]
+    dim = len(level.plan.info.node_grid)
+
+    if li == len(levels) - 1:
+        if level.coarse_inverse is not None:
+            r_nodes = level.plan.extract_field(r)
+            e_nodes = jnp.dot(level.coarse_inverse, r_nodes,
+                              preferred_element_type=r_nodes.dtype)
+            return level.plan.embed_field(e_nodes)
+        # no dense inverse: damp with extra Jacobi sweeps
+        e = omega * level.inv_diag * r
+        for _ in range(20):
+            e = e + omega * level.inv_diag * (
+                r - _matvec(level, e, use_pallas))
+        return e
+
+    e = omega * level.inv_diag * r            # first Jacobi sweep from e = 0
+    for _ in range(nu1 - 1):
+        e = e + omega * level.inv_diag * (r - _matvec(level, e, use_pallas))
+
+    resid = r - _matvec(level, e, use_pallas)
+    rc_grid = restrict(_grid(level, resid), dim)
+    rc = _store(levels[li + 1], rc_grid)
+    rc = jnp.where(levels[li + 1].bc_mask, 0, rc)
+
+    ec = v_cycle(levels, rc, li=li + 1, nu1=nu1, nu2=nu2, omega=omega,
+                 use_pallas=use_pallas)
+
+    ef_grid = prolong(_grid(levels[li + 1], ec), dim)
+    e = e + _store(level, ef_grid)
+
+    for _ in range(nu2):
+        e = e + omega * level.inv_diag * (r - _matvec(level, e, use_pallas))
+    return e
+
+
+def mg_preconditioner(levels: List[MGLevel], *, nu1: int = 2, nu2: int = 2,
+                      omega: float = 0.8, use_pallas: bool = True) -> Callable:
+    """M^-1 r = one V-cycle — SPD, usable directly in tpufem.solve.cg."""
+
+    def apply(r):
+        return v_cycle(levels, r, nu1=nu1, nu2=nu2, omega=omega,
+                       use_pallas=use_pallas)
+
+    return apply
