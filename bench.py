@@ -142,26 +142,21 @@ def main():
     t_asm = device_seconds_per_rep(lambda r: asm_reps(X, r),
                                    reps_low=2, reps_high=22)
 
-    # ---- timed: PCG iteration cost ----
+    # ---- one jitted PCG used for both timing and convergence ----
     @jax.jit
-    def pcg_reps(data, b, iters):
-        x, rr = pcg_fixed_iters(data, plan, block_lead, b, precond, iters)
-        return x
-
-    reps_hi = 60 if solver == "mg" else 210
-    t_iter = device_seconds_per_rep(lambda r: pcg_reps(data, b, r),
-                                    reps_low=5, reps_high=reps_hi)
-
-    # ---- convergence: iterations to 1e-5 relative residual (fp32) ----
-    @jax.jit
-    def solve_iters(data, b, iters):
+    def pcg_run(data, b, iters):
         x, rr = pcg_fixed_iters(data, plan, block_lead, b, precond, iters)
         return x, jnp.sqrt(rr) / jnp.linalg.norm(b)
 
+    reps_hi = 60 if solver == "mg" else 210
+    t_iter = device_seconds_per_rep(lambda r: pcg_run(data, b, r),
+                                    reps_low=5, reps_high=reps_hi)
+
+    # ---- convergence: iterations to 1e-5 relative residual (fp32) ----
     iters = 4 if solver == "mg" else 50
     relres = 1.0
     while iters <= 3200:
-        x, rr = solve_iters(data, b, iters)
+        x, rr = pcg_run(data, b, iters)
         relres = float(rr)
         if relres < 1e-5:
             break
