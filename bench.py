@@ -139,8 +139,8 @@ def main():
         return jax.lax.fori_loop(
             0, reps, body, jnp.zeros((len(offsets), ns), dtype))
 
-    t_asm = device_seconds_per_rep(lambda r: asm_reps(X, r),
-                                   reps_low=2, reps_high=22)
+    t_asm = device_seconds_per_rep(
+        lambda r: asm_reps(X, jnp.int32(r)), reps_low=2, reps_high=22)
 
     # ---- one jitted PCG used for both timing and convergence ----
     @jax.jit
@@ -149,18 +149,21 @@ def main():
         return x, jnp.sqrt(rr) / jnp.linalg.norm(b)
 
     reps_hi = 60 if solver == "mg" else 210
-    t_iter = device_seconds_per_rep(lambda r: pcg_run(data, b, r),
-                                    reps_low=5, reps_high=reps_hi)
+    t_iter = device_seconds_per_rep(
+        lambda r: pcg_run(data, b, jnp.int32(r)),
+        reps_low=5, reps_high=reps_hi)
 
     # ---- convergence: iterations to 1e-5 relative residual (fp32) ----
-    iters = 4 if solver == "mg" else 50
+    if solver == "mg":
+        schedule = [4, 6, 8, 10, 12, 16, 24, 32, 48, 64]
+    else:
+        schedule = [50, 100, 150, 200, 300, 400, 800, 1600, 3200]
     relres = 1.0
-    while iters <= 3200:
-        x, rr = pcg_run(data, b, iters)
+    for iters in schedule:
+        x, rr = pcg_run(data, b, jnp.int32(iters))
         relres = float(rr)
         if relres < 1e-5:
             break
-        iters *= 2
 
     # solution quality vs exact manufactured solution
     ue = exact(mesh.coords).astype(np.float32)

@@ -137,3 +137,25 @@ def test_embed_extract_roundtrip():
     # borders are the fill value
     grid = np.asarray(emb).reshape(plan.store_grid)
     assert (grid[:, 0] == 0).all() and (grid[0, :] == 0).all()
+
+
+def test_debug_validators():
+    from tpufem.utils.debug import (check_assembly_agreement,
+                                    check_operator_invariants,
+                                    validate_ell_pattern)
+
+    mesh, Ke = _system()
+    pat = ell_pattern(mesh.conn, mesh.num_nodes, pad_to=8)
+    assert validate_ell_pattern(pat, mesh.conn, mesh.num_nodes)
+    assert check_assembly_agreement(pat, Ke)
+    A = assemble_ell(pat, Ke)
+    assert check_operator_invariants(A, symmetric=True, zero_row_sums=True)
+
+    # corrupt the plan -> validator must catch it
+    import dataclasses
+    bad_slots = pat.slots.copy()
+    bad_slots[0, 0, 0] = pat.slots[0, 0, 0] + 1
+    bad = dataclasses.replace(pat, slots=bad_slots)
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        validate_ell_pattern(bad, mesh.conn, mesh.num_nodes)
