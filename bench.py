@@ -38,14 +38,11 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from tpufem.assemble.planar import (element_coords_bt, element_load_bt,
-                                    p1_stiffness_bt)
-from tpufem.assemble.structured import (assemble_stencil_structured_bt,
-                                        assemble_vector_structured_bt,
-                                        structured_plan)
+from tpufem.assemble.structured import structured_plan
 from tpufem.fem.quadrature import tetrahedron_rule
 from tpufem.mesh.box import box_mesh
-from tpufem.solve.bc import apply_dirichlet_stencil
+from tpufem.ops.fused_system_pallas import (build_poisson_system_pallas,
+                                            node_coords_embedded)
 from tpufem.ops.stencil_pallas import pick_block_lead, stencil_matvec_embedded
 from tpufem.solve.multigrid import build_poisson_multigrid, mg_preconditioner
 from tpufem.solve.poisson import model_problem_3d, model_problem_3d_planes
@@ -91,7 +88,7 @@ def main():
     with timer("host_mesh_and_plan"):
         mesh = box_mesh(-3, 3, -3, 3, -3, 3, n, n, n)
         plan = structured_plan(mesh, embed=True)
-        Xh = element_coords_bt(mesh, np.float32)
+        Ch = node_coords_embedded(mesh, plan, np.float32)
     nn = mesh.num_nodes
     ns = plan.num_store_rows
     offsets = plan.offsets
@@ -102,18 +99,17 @@ def main():
     bc_mask = plan.embed_field(jnp.asarray(mesh.node_flags != 0), fill=False)
 
     with timer("h2d"):
-        X = jax.device_put(jnp.asarray(Xh))
+        X = jax.device_put(jnp.asarray(Ch))
         X.block_until_ready()
 
-    # ---- full pipeline (once) for the solver benchmark ----
+    # ---- single-pass fused system build (Pallas): stiffness + RHS + BC ----
+    diag_k = plan.offsets.index(0)
+
     @jax.jit
-    def build_system(X):
-        Ke = p1_stiffness_bt(X, mesh.cell_type)
-        A = assemble_stencil_structured_bt(plan, Ke)
-        be = element_load_bt(X, mesh.cell_type, rule, f_planes)
-        b = assemble_vector_structured_bt(plan, be)
-        A, b = apply_dirichlet_stencil(A, b, bc_mask)
-        d = A.diagonal()
+    def build_system(C):
+        A, b = build_poisson_system_pallas(plan, C, bc_mask, f_planes, rule,
+                                           block_lead=1)
+        d = A.data[diag_k]
         inv_d = jnp.where(d != 0, 1.0 / d, 1.0)
         return A.data, b, inv_d
 
@@ -174,8 +170,8 @@ def main():
     t_total = t_asm + iters * t_iter
     dofs_per_sec = nn / t_total
 
-    # HBM speed-of-light fractions
-    asm_bytes = (X.size + len(offsets) * ns + ns) * 4
+    # HBM speed-of-light fractions (node coords in, system out)
+    asm_bytes = (3 * X.size + (len(offsets) + 2) * ns) * 4
     asm_sol = asm_bytes / t_asm / 1e9 / 819.0
     iter_bytes = (len(offsets) * ns + 7 * ns) * 4   # data + ~7 vector passes
     iter_sol = iter_bytes / t_iter / 1e9 / 819.0

@@ -99,3 +99,46 @@ def test_embedded_mg_preconditioned_distributed_consistency(cpu_devices):
     res = jax.jit(lambda bb: cg(mv, bb, tol=1e-10, maxiter=60, M=M))(b_s)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                rtol=1e-9, atol=1e-10)
+
+
+def test_fused_pallas_assembly_matches_xla():
+    from tpufem.ops.assemble_pallas import (assemble_stencil_pallas,
+                                            element_coords_bt_embedded)
+    from tpufem.assemble.local import p1_stiffness
+    from tpufem.assemble.structured import assemble_stencil_structured
+    from tpufem.fem.elements import P1Tetrahedron
+
+    mesh = box_mesh(-1, 2, 0, 1, -2, 0, 5, 4, 6)
+    plan = structured_plan(mesh, embed=True)
+    Ke = p1_stiffness(jnp.asarray(mesh.element_coords()), P1Tetrahedron())
+    A_ref = assemble_stencil_structured(plan, Ke)
+    X = jnp.asarray(element_coords_bt_embedded(mesh, plan, 2, np.float64))
+    A = assemble_stencil_pallas(plan, X, block_lead=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(A.data), np.asarray(A_ref.data),
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_fused_system_build_matches_xla():
+    """Single-pass Pallas system build (stiffness+RHS+BC) vs XLA pipeline."""
+    from tpufem.ops.fused_system_pallas import (build_poisson_system_pallas,
+                                                node_coords_embedded)
+
+    mesh = box_mesh(-3, 2, 0, 3, -2, 1, 5, 4, 6)
+    plan = structured_plan(mesh, embed=True)
+    rule = tetrahedron_rule(3)
+    fp = model_problem_3d_planes()
+    X = jnp.asarray(element_coords_bt(mesh, np.float64))
+    A_ref = assemble_stencil_structured_bt(
+        plan, p1_stiffness_bt(X, "tetrahedron"))
+    b_ref = assemble_vector_structured_bt(
+        plan, element_load_bt(X, "tetrahedron", rule, fp))
+    bc = plan.embed_field(jnp.asarray(mesh.node_flags != 0), fill=False)
+    A_ref, b_ref = apply_dirichlet_stencil(A_ref, b_ref, bc)
+
+    C = jnp.asarray(node_coords_embedded(mesh, plan, np.float64))
+    A, b = build_poisson_system_pallas(plan, C, bc, fp, rule,
+                                       block_lead=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(A.data), np.asarray(A_ref.data),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(b_ref),
+                               rtol=1e-12, atol=1e-12)
