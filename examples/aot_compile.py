@@ -9,6 +9,9 @@ lowered names), execute, and assert golden values.
 
     python examples/aot_compile.py
 """
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax

@@ -10,6 +10,9 @@ Also demonstrates the strictly matrix-free operator (element-loop gather/
 scatter, tpufem.sparse.matfree) on the same problem for capability parity,
 at reduced size (gather-based paths are not the TPU fast path).
 """
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import sys
 import time

@@ -3,6 +3,9 @@ TPU-native (parity: /root/reference/fea_symbolic.cu:484-507 main()).
 
     python examples/poisson_2d.py --cells 64 --format stencil
 """
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import sys
 import time

@@ -2,6 +2,9 @@
 
     python examples/poisson_3d_multigrid.py --n 64
 """
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import sys
 import time

@@ -7,6 +7,9 @@ reductions; this benchmarks them and checks against the CPU golden value.
 
     python examples/reduction_bench.py
 """
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax

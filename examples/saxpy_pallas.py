@@ -7,6 +7,9 @@ kernel under jax.jit.
 
     python examples/saxpy_pallas.py
 """
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax
