@@ -142,3 +142,18 @@ def test_fused_system_build_matches_xla():
                                rtol=1e-12, atol=1e-14)
     np.testing.assert_allclose(np.asarray(b), np.asarray(b_ref),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_solve_poisson_fast_cpu():
+    """The one-call fast path end-to-end (interpret mode on CPU)."""
+    from tpufem.solve.structured_fast import solve_poisson_fast
+    from tpufem.mesh.box import box_mesh as _bm
+
+    sol = solve_poisson_fast((-3.0, 3.0), 8, model_problem_3d_planes(),
+                             tol=1e-8, dtype=jnp.float64, interpret=True)
+    assert bool(sol.cg.converged)
+    mesh = _bm(-3, 3, -3, 3, -3, 3, 8, 8, 8)
+    ue = model_problem_3d()[1](mesh.coords)
+    u = np.asarray(sol.u)
+    rel = np.sqrt(np.mean((u - ue) ** 2)) / np.sqrt(np.mean(ue ** 2))
+    assert rel < 0.05

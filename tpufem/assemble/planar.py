@@ -94,11 +94,23 @@ def _geometry_bt(Xt, dim):
 def p1_stiffness_bt(X, cell_type: str):
     """X [T, npe, dim, *B] -> Ke [T, npe, npe, *B] (P1 Poisson stiffness)."""
     T, npe, dim = X.shape[0], X.shape[1], X.shape[2]
+    Xviews = [[[X[t, n, d] for d in range(dim)] for n in range(npe)]
+              for t in range(T)]
+    return p1_stiffness_views(Xviews, cell_type)
+
+
+def p1_stiffness_views(Xviews, cell_type: str):
+    """Like p1_stiffness_bt, but takes nested lists Xviews[t][n][d] of [*B]
+    planes — lets structured-grid callers pass zero-copy slicing views of
+    the node-coordinate grid instead of materializing element coords
+    (3+ GB at 10M DOFs)."""
+    T = len(Xviews)
+    npe = len(Xviews[0])
+    dim = len(Xviews[0][0])
     refvol = _REF_VOLUME[cell_type]
     out_t = []
     for t in range(T):
-        Xt = [[X[t, n, d] for d in range(dim)] for n in range(npe)]
-        G, adet = _geometry_bt(Xt, dim)
+        G, adet = _geometry_bt(Xviews[t], dim)
         vol = adet * refvol
         rows = []
         for a in range(npe):
@@ -108,6 +120,52 @@ def p1_stiffness_bt(X, cell_type: str):
             rows.append(jnp.stack(row))
         out_t.append(jnp.stack(rows))
     return jnp.stack(out_t)
+
+
+def element_load_views(Xviews, cell_type: str, rule: QuadratureRule,
+                       f_planes):
+    """element_load_bt on nested coordinate views (zero-copy, huge grids)."""
+    from tpufem.fem.elements import element_for_cell
+
+    T = len(Xviews)
+    npe = len(Xviews[0])
+    dim = len(Xviews[0][0])
+    el = element_for_cell(cell_type, 1)
+    phi = el.shape_values(rule.points)
+    w = rule.weights
+    out_t = []
+    for t in range(T):
+        Xt = Xviews[t]
+        _, adet = _geometry_bt(Xt, dim)
+        acc = [0.0] * npe
+        for q in range(rule.num_points):
+            xq = [sum(float(phi[q, n]) * Xt[n][d] for n in range(npe))
+                  for d in range(dim)]
+            fq = f_planes(*xq)
+            for a in range(npe):
+                acc[a] = acc[a] + (float(w[q]) * float(phi[q, a])) * fq
+        out_t.append(jnp.stack([acc[a] * adet for a in range(npe)]))
+    return jnp.stack(out_t)
+
+
+def element_coord_views(coords_grid, info):
+    """Zero-copy element-coordinate views from a node-coordinate grid.
+
+    coords_grid: [dim, *node_grid]; returns Xviews[t][n][d] of [*cell_grid]
+    slicing views (no gathers, no materialization).
+    """
+    cg = info.cell_grid
+    out = []
+    for t in range(info.num_types):
+        nodes = []
+        for n in range(info.type_node_offsets.shape[1]):
+            off = info.type_node_offsets[t, n]
+            sl = tuple(slice(int(off[d]), int(off[d]) + cg[d])
+                       for d in range(len(cg)))
+            nodes.append([coords_grid[d][sl]
+                          for d in range(coords_grid.shape[0])])
+        out.append(nodes)
+    return out
 
 
 def element_load_bt(X, cell_type: str, rule: QuadratureRule, f_planes):

@@ -97,14 +97,18 @@ def _roundup(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def structured_plan(mesh: Mesh, embed: bool = False) -> StructuredPlan:
+def structured_plan(mesh_or_info, embed: bool = False) -> StructuredPlan:
     """Build the shift-invariant assembly plan.
+
+    Accepts a Mesh (with structured metadata) or a StructuredInfo directly —
+    the latter lets huge-grid callers (multigrid hierarchies, >10M-DOF runs)
+    skip materializing element connectivity entirely.
 
     ``embed=True`` selects the TPU-aligned embedded storage grid (see
     StructuredPlan docstring) — the production layout for the Pallas SpMV.
     """
-    info = mesh.structured
-    if info is None:
+    info = getattr(mesh_or_info, "structured", mesh_or_info)
+    if info is None or not isinstance(info, StructuredInfo):
         raise ValueError("mesh has no structured-grid metadata")
     off = info.type_node_offsets          # [T, npe, g]
     ng = info.node_grid

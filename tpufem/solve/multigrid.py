@@ -156,17 +156,50 @@ def _matvec(level: MGLevel, x, use_pallas: bool):
     return stencil_matvec(level.data, level.plan.offsets, x)
 
 
+def _light_grid(domain, s: int, dim: int):
+    """(StructuredInfo, node coords grid [dim, *ng], bc grid) — no Mesh, no
+    connectivity: hierarchy setup at 10M+ DOFs must not materialize element
+    arrays (O(6 N) int32 conn + gathered coords)."""
+    from tpufem.mesh.box import _KUHN_TETS
+    from tpufem.mesh.core import StructuredInfo
+
+    lo, hi = domain
+    if dim == 2:
+        offs = np.array([[[0, 0], [0, 1], [1, 0]],
+                         [[0, 1], [1, 1], [1, 0]]], dtype=np.int64)
+    else:
+        offs = np.asarray(_KUHN_TETS, dtype=np.int64)
+    info = StructuredInfo(node_grid=(s + 1,) * dim, cell_grid=(s,) * dim,
+                          type_node_offsets=offs)
+    ax = np.linspace(lo, hi, s + 1)
+    grids = np.meshgrid(*([ax] * dim), indexing="ij")
+    # coordinate d varies along grid axis (dim-1-d): x fastest
+    coords_grid = np.stack([grids[dim - 1 - d] for d in range(dim)])
+    bc = np.zeros((s + 1,) * dim, bool)
+    for d in range(dim):
+        sl0 = [slice(None)] * dim
+        sl0[d] = 0
+        bc[tuple(sl0)] = True
+        sl0[d] = -1
+        bc[tuple(sl0)] = True
+    return info, coords_grid, bc
+
+
 def build_poisson_multigrid(domain, n_cells: int, dim: int, *,
                             levels: Optional[int] = None,
                             dtype=jnp.float32, coarse_max: int = 8,
-                            use_pallas: bool = True) -> List[MGLevel]:
+                            use_pallas: bool = True,
+                            top: Optional[tuple] = None) -> List[MGLevel]:
     """Hierarchy of embedded stencil Poisson operators on (domain)^dim.
 
     n_cells must be divisible by 2^(levels-1); levels defaults to halving
     until the grid is <= coarse_max cells per side.  The coarsest level gets
     a precomputed dense inverse (one MXU matmul per V-cycle).
+
+    ``top=(data, bc_mask)`` supplies a precomputed finest-level operator
+    (e.g. from the fused Pallas build) so the hierarchy setup never touches
+    the finest grid on the host — the right path at 10M+ DOFs.
     """
-    lo, hi = domain
     sizes = [n_cells]
     while (sizes[-1] % 2 == 0 and sizes[-1] > coarse_max
            and (levels is None or len(sizes) < levels)):
@@ -179,27 +212,39 @@ def build_poisson_multigrid(domain, n_cells: int, dim: int, *,
     cpu = jax.devices("cpu")[0]
     default = jax.devices()[0]
 
+    from tpufem.assemble.planar import element_coord_views, p1_stiffness_views
+
     out: List[MGLevel] = []
     for li, s in enumerate(sizes):
-        if dim == 2:
-            mesh = rectangle_mesh(lo, hi, lo, hi, s, s)
-        else:
-            mesh = box_mesh(lo, hi, lo, hi, lo, hi, s, s, s)
-        plan = structured_plan(mesh, embed=True)
-        with jax.default_device(cpu):
-            X = jnp.asarray(element_coords_bt(mesh, np.dtype(dtype).type))
-            Ke = p1_stiffness_bt(X, mesh.cell_type)
-            A = assemble_stencil_structured_bt(plan, Ke)
-            bc = plan.embed_field(jnp.asarray(mesh.node_flags != 0),
-                                  fill=False)
-            b0 = jnp.zeros(plan.num_store_rows, dtype)
-            A, _ = apply_dirichlet_stencil(A, b0, bc)
-            d = A.diagonal()
+        info, coords_grid, bc_grid = _light_grid(domain, s, dim)
+        plan = structured_plan(info, embed=True)
+        if li == 0 and top is not None:
+            data, bc = top
+            data = jax.device_put(jnp.asarray(data), default)
+            bc = jax.device_put(jnp.asarray(bc, bool), default)
+            diag_k = plan.offsets.index(0)
+            d = data[diag_k]
             inv_d = jnp.where(d != 0, 1.0 / d, 1.0)
+        else:
+            with jax.default_device(cpu):
+                Xv = element_coord_views(
+                    coords_grid.astype(np.dtype(dtype).type), info)
+                Ke = p1_stiffness_views(Xv, "triangle" if dim == 2
+                                        else "tetrahedron")
+                A = assemble_stencil_structured_bt(plan, Ke)
+                bc = plan.embed_field(jnp.asarray(bc_grid.reshape(-1)),
+                                      fill=False)
+                b0 = jnp.zeros(plan.num_store_rows, dtype)
+                A, _ = apply_dirichlet_stencil(A, b0, bc)
+                d = A.diagonal()
+                inv_d = jnp.where(d != 0, 1.0 / d, 1.0)
+            data = jax.device_put(A.data, default)
+            inv_d = jax.device_put(inv_d, default)
+            bc = jax.device_put(bc, default)
         level = MGLevel(plan=plan,
-                        data=jax.device_put(A.data, default),
-                        inv_diag=jax.device_put(inv_d, default),
-                        bc_mask=jax.device_put(bc, default),
+                        data=data,
+                        inv_diag=inv_d,
+                        bc_mask=bc,
                         block_lead=pick_block_lead(plan.store_grid,
                                                    plan.width),
                         coarse_inverse=None)

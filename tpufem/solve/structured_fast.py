@@ -8,7 +8,9 @@ stencil SpMV) for 3D Poisson problems on structured box meshes:
     sol = solve_poisson_fast((-3, 3), n_cells=96, f_planes=f, tol=1e-5)
 
 6.2 ms device time at 913k DOFs on one v5e (assemble 1.6 ms + 10 MG-PCG
-iterations); scales to >11M DOFs on a single chip (examples/poisson_10m.py).
+iterations); scales past 11M DOFs on a single chip (the finest level is
+built on-device by the fused kernel, so hierarchy setup never materializes
+element arrays on the host).
 """
 from __future__ import annotations
 
@@ -20,11 +22,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from tpufem.assemble.structured import structured_plan
 from tpufem.fem.quadrature import tetrahedron_rule
 from tpufem.mesh.box import box_mesh
 from tpufem.ops.fused_system_pallas import (build_poisson_system_pallas,
                                             node_coords_embedded)
-from tpufem.ops.stencil_pallas import stencil_matvec_embedded
+from tpufem.ops.stencil_pallas import (pick_block_lead,
+                                       stencil_matvec_embedded)
 from tpufem.solve.cg import CGResult, cg
 from tpufem.solve.multigrid import build_poisson_multigrid, mg_preconditioner
 
@@ -42,7 +46,8 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
                        tol: float = 1e-5, maxiter: int = 60,
                        dtype=jnp.float32, quadrature_degree: int = 3,
                        use_multigrid: bool = True,
-                       levels: Optional[int] = None) -> FastSolution:
+                       levels: Optional[int] = None,
+                       interpret: bool = False) -> FastSolution:
     """Assemble + solve -Δu = f, u|∂Ω = 0 on (domain)³ with n_cells³ cells.
 
     ``f_planes(x, y, z)`` takes coordinate planes and returns one plane (the
@@ -50,54 +55,78 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
     full multigrid hierarchy (e.g. 32/48/64/96/128/192/224).
     """
     phases = {}
+
     t0 = time.perf_counter()
     mesh = box_mesh(domain[0], domain[1], domain[0], domain[1],
                     domain[0], domain[1], n_cells, n_cells, n_cells)
-    if use_multigrid:
-        mg_levels = build_poisson_multigrid(domain, n_cells, 3, dtype=dtype,
-                                            levels=levels)
-        plan = mg_levels[0].plan
-        M = mg_preconditioner(mg_levels, nu1=1, nu2=1)
-        top = mg_levels[0]
-        data = top.data
-        bc_mask = top.bc_mask
-        block_lead = top.block_lead
-    else:
-        from tpufem.assemble.structured import structured_plan
-        from tpufem.ops.stencil_pallas import pick_block_lead
-
-        plan = structured_plan(mesh, embed=True)
-        bc_mask = plan.embed_field(jnp.asarray(mesh.node_flags != 0),
-                                   fill=False)
-        block_lead = pick_block_lead(plan.store_grid, plan.width)
-        data = None
-        M = None
-    phases["setup"] = time.perf_counter() - t0
+    plan = structured_plan(mesh, embed=True)
+    bc_mask = plan.embed_field(jnp.asarray(mesh.node_flags != 0),
+                               fill=False)
+    block_lead = pick_block_lead(plan.store_grid, plan.width)
+    C = jax.device_put(jnp.asarray(
+        node_coords_embedded(mesh, plan, np.dtype(dtype).type)))
+    phases["host_setup"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    C = jax.device_put(jnp.asarray(node_coords_embedded(mesh, plan,
-                                                        np.dtype(dtype).type)))
     rule = tetrahedron_rule(quadrature_degree)
 
-    @jax.jit
-    def build(C):
-        A, b = build_poisson_system_pallas(
-            plan, C, jnp.asarray(bc_mask, dtype), f_planes, rule,
-            block_lead=1)
-        return A.data, b
+    # The fused kernel's VMEM live-set scales with the minor plane size;
+    # beyond ~16k lane-elements per plane (n ~> 128) build on the CPU
+    # backend from zero-copy node-grid views and ship the system over.
+    fused_ok = (plan.store_grid[1] * plan.store_grid[2]) <= 16384
 
-    data_built, b = build(C)
-    b.block_until_ready()
+    if fused_ok or interpret:
+        @jax.jit
+        def build(C):
+            A, b = build_poisson_system_pallas(
+                plan, C, bc_mask, f_planes, rule, block_lead=1,
+                interpret=interpret)
+            return A.data, b
+
+        data, b = build(C)
+        b.block_until_ready()
+    else:
+        from tpufem.assemble.planar import (element_coord_views,
+                                            element_load_views,
+                                            p1_stiffness_views)
+        from tpufem.assemble.structured import (
+            assemble_stencil_structured_bt, assemble_vector_structured_bt)
+        from tpufem.solve.bc import apply_dirichlet_stencil
+        from tpufem.solve.multigrid import _light_grid
+
+        cpu = jax.devices("cpu")[0]
+        default = jax.devices()[0]
+        info, coords_grid, _ = _light_grid(domain, n_cells, 3)
+        with jax.default_device(cpu):
+            Xv = element_coord_views(
+                coords_grid.astype(np.dtype(dtype).type), info)
+            A = assemble_stencil_structured_bt(
+                plan, p1_stiffness_views(Xv, "tetrahedron"))
+            bcpu = assemble_vector_structured_bt(
+                plan, element_load_views(Xv, "tetrahedron", rule, f_planes))
+            A, bcpu = apply_dirichlet_stencil(
+                A, bcpu, jax.device_put(bc_mask, cpu))
+        data = jax.device_put(A.data, default)
+        b = jax.device_put(bcpu, default)
     phases["assemble_wall"] = time.perf_counter() - t0
-    if data is None:
-        data = data_built
-        d = data[plan.offsets.index(0)]
+
+    t0 = time.perf_counter()
+    if use_multigrid:
+        mg_levels = build_poisson_multigrid(
+            domain, n_cells, 3, dtype=dtype, levels=levels,
+            top=(data, bc_mask))
+        M = mg_preconditioner(mg_levels, nu1=1, nu2=1,
+                              use_pallas=not interpret)
+    else:
+        diag_k = plan.offsets.index(0)
+        d = data[diag_k]
         inv_d = jnp.where(d != 0, 1.0 / d, 1.0)
         M = lambda r: r * inv_d
+    phases["hierarchy"] = time.perf_counter() - t0
 
     def mv(v):
-        return stencil_matvec_embedded(data_built, v, plan,
-                                       block_lead=block_lead)
+        return stencil_matvec_embedded(data, v, plan, block_lead=block_lead,
+                                       interpret=interpret)
 
     t0 = time.perf_counter()
     res = jax.jit(lambda b: cg(mv, b, tol=tol, maxiter=maxiter, M=M))(b)
@@ -106,4 +135,4 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
 
     u = plan.extract_field(res.x)
     return FastSolution(u=u, cg=res, num_dofs=mesh.num_nodes,
-                        phases_s=phases)
+                        phases_s={k: round(v, 3) for k, v in phases.items()})
