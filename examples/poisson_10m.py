@@ -17,7 +17,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from tpufem.mesh.box import box_mesh
+from tpufem.solve.multigrid import _light_grid
 from tpufem.solve.poisson import model_problem_3d, model_problem_3d_planes
 from tpufem.solve.structured_fast import solve_poisson_fast
 
@@ -32,8 +32,9 @@ def main(argv=None):
                              model_problem_3d_planes(), tol=args.tol)
 
     _, exact = model_problem_3d()
-    mesh = box_mesh(-3, 3, -3, 3, -3, 3, args.n, args.n, args.n)
-    ue = exact(mesh.coords).astype(np.float32)
+    _, coords_grid, _ = _light_grid((-3.0, 3.0), args.n, 3)
+    coords = np.moveaxis(coords_grid, 0, -1).reshape(-1, 3)
+    ue = exact(coords).astype(np.float32)
     u = np.asarray(sol.u)
     rel = float(np.sqrt(np.mean((u - ue) ** 2)) / np.sqrt(np.mean(ue ** 2)))
     print(f"dofs={sol.num_dofs} iters={int(sol.cg.iterations)} "

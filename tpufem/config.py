@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 __all__ = ["ProblemConfig", "SolverConfig", "add_cli_args", "from_cli"]
 

@@ -9,8 +9,6 @@ coupling and rides the ICI ring between neighbor chips.
 """
 from __future__ import annotations
 
-import numpy as np
-
 import jax.numpy as jnp
 
 __all__ = ["pad_rows", "padded_size"]

@@ -10,8 +10,6 @@ async / sharded checkpoints of large runs.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 import jax.numpy as jnp

@@ -49,21 +49,28 @@ def node_coords_embedded(mesh: Mesh, plan: StructuredPlan,
     masked to zero in the kernel).
     """
     info = plan.info
+    coords_grid = np.moveaxis(
+        mesh.coords.reshape(info.node_grid + (mesh.dim,)), -1, 0)
+    return node_coords_embedded_from_grid(coords_grid, plan, dtype)
+
+
+def node_coords_embedded_from_grid(coords_grid, plan: StructuredPlan,
+                                   dtype=np.float32) -> np.ndarray:
+    """Embedded node coords from a [dim, *node_grid] coordinate grid
+    (mesh-free entry point for huge grids)."""
+    info = plan.info
     ng = info.node_grid                      # (nz1, ny1, nx1)
     sg = plan.store_grid
-    dim = mesh.dim
-    # synthetic background: coordinate = (index - 1) * h + lo per axis
+    dim = coords_grid.shape[0]
+    # synthetic background: index-valued coordinates per axis
     axes = [np.arange(sg[d], dtype=np.float64) - 1.0 for d in range(3)]
-    # estimate spacing from the real mesh (uniform generators)
-    coords_grid = mesh.coords.reshape(ng + (dim,))
     out = np.zeros((dim,) + tuple(sg), dtype)
     Z, Y, X = np.meshgrid(axes[0], axes[1], axes[2], indexing="ij")
     idx_planes = [Z, Y, X]
     for d in range(dim):
         # grid axis of coordinate d: x varies along axis 2, y along 1, z 0
         out[d] = idx_planes[2 - d]
-    out[:, 1:1 + ng[0], 1:1 + ng[1], 1:1 + ng[2]] = np.moveaxis(
-        coords_grid, -1, 0)
+    out[:, 1:1 + ng[0], 1:1 + ng[1], 1:1 + ng[2]] = coords_grid
     return out
 
 

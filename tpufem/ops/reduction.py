@@ -21,8 +21,6 @@ comparison (atomicadd.cu:53-56).
 """
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax

@@ -32,16 +32,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tpufem.assemble.planar import (element_coords_bt, element_load_bt,
-                                    p1_stiffness_bt)
 from tpufem.assemble.structured import (StructuredPlan,
                                         assemble_stencil_structured_bt,
                                         structured_plan)
-from tpufem.mesh.box import box_mesh
-from tpufem.mesh.rectangle import rectangle_mesh
 from tpufem.ops.stencil_pallas import pick_block_lead, stencil_matvec_embedded
 from tpufem.solve.bc import apply_dirichlet_stencil
-from tpufem.sparse.stencil import StencilMatrix, stencil_matvec
+from tpufem.sparse.stencil import stencil_matvec
 
 __all__ = ["prolong", "restrict", "MGLevel", "build_poisson_multigrid",
            "v_cycle", "mg_preconditioner"]

@@ -24,9 +24,8 @@ import jax.numpy as jnp
 
 from tpufem.assemble.structured import structured_plan
 from tpufem.fem.quadrature import tetrahedron_rule
-from tpufem.mesh.box import box_mesh
-from tpufem.ops.fused_system_pallas import (build_poisson_system_pallas,
-                                            node_coords_embedded)
+from tpufem.ops.fused_system_pallas import (
+    build_poisson_system_pallas, node_coords_embedded_from_grid)
 from tpufem.ops.stencil_pallas import (pick_block_lead,
                                        stencil_matvec_embedded)
 from tpufem.solve.cg import CGResult, cg
@@ -57,14 +56,14 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
     phases = {}
 
     t0 = time.perf_counter()
-    mesh = box_mesh(domain[0], domain[1], domain[0], domain[1],
-                    domain[0], domain[1], n_cells, n_cells, n_cells)
-    plan = structured_plan(mesh, embed=True)
-    bc_mask = plan.embed_field(jnp.asarray(mesh.node_flags != 0),
-                               fill=False)
+    from tpufem.solve.multigrid import _light_grid
+
+    info, coords_grid, bc_grid = _light_grid(domain, n_cells, 3)
+    plan = structured_plan(info, embed=True)
+    bc_mask = plan.embed_field(jnp.asarray(bc_grid.reshape(-1)), fill=False)
     block_lead = pick_block_lead(plan.store_grid, plan.width)
-    C = jax.device_put(jnp.asarray(
-        node_coords_embedded(mesh, plan, np.dtype(dtype).type)))
+    C = jax.device_put(jnp.asarray(node_coords_embedded_from_grid(
+        coords_grid, plan, np.dtype(dtype).type)))
     phases["host_setup"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -92,11 +91,9 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
         from tpufem.assemble.structured import (
             assemble_stencil_structured_bt, assemble_vector_structured_bt)
         from tpufem.solve.bc import apply_dirichlet_stencil
-        from tpufem.solve.multigrid import _light_grid
 
         cpu = jax.devices("cpu")[0]
         default = jax.devices()[0]
-        info, coords_grid, _ = _light_grid(domain, n_cells, 3)
         with jax.default_device(cpu):
             Xv = element_coord_views(
                 coords_grid.astype(np.dtype(dtype).type), info)
@@ -134,5 +131,6 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
     phases["solve_wall"] = time.perf_counter() - t0
 
     u = plan.extract_field(res.x)
-    return FastSolution(u=u, cg=res, num_dofs=mesh.num_nodes,
+    return FastSolution(u=u, cg=res,
+                        num_dofs=int(np.prod(plan.info.node_grid)),
                         phases_s={k: round(v, 3) for k, v in phases.items()})

@@ -15,8 +15,6 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax.numpy as jnp
-
 from tpufem.mesh.adjacency import ELLPattern
 
 __all__ = ["validate_ell_pattern", "check_assembly_agreement",

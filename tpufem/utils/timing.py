@@ -17,8 +17,6 @@ from __future__ import annotations
 import time
 from typing import Callable
 
-import numpy as np
-
 import jax.numpy as jnp
 
 __all__ = ["device_seconds_per_rep", "PhaseTimer", "bandwidth_gbs",
