@@ -107,8 +107,8 @@ def main():
 
     @jax.jit
     def build_system(C):
-        A, b = build_poisson_system_pallas(plan, C, bc_mask, f_planes, rule,
-                                           block_lead=1)
+        A, b = build_poisson_system_pallas(plan, C, bc_mask, f_planes,
+                                           rule)
         d = A.data[diag_k]
         inv_d = jnp.where(d != 0, 1.0 / d, 1.0)
         return A.data, b, inv_d

@@ -28,7 +28,7 @@ __all__ = ["structured_plan", "assemble_stencil_structured",
            "assemble_vector_structured", "StructuredPlan"]
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class StructuredPlan:
     """For each (t, a, b): target stencil slot k and grid shift of the row
     node; plus the node-grid strides needed to map shifts to flat offsets.

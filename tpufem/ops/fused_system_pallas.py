@@ -6,19 +6,25 @@ structured mesh every element's vertices are fixed grid offsets of its base
 node) — and emits the complete solver-ready system in one pass:
 
     stiffness (embedded stencil data)  +  RHS load vector
-    +  zero-Dirichlet boundary elimination
+    +  zero-Dirichlet boundary elimination on the box boundary
 
-HBM traffic: ~3 node-coordinate planes in (x3 for the leading-halo neighbor
-blocks), K stencil planes + 1 RHS plane out — about 115 MB at 1M DOFs versus
-~1.5 GB for the unfused XLA pipeline.  Everything else (geometry, 96 local
--matrix entries per cell, quadrature, masking) happens in VMEM.
+HBM traffic: ~9x the 3 node-coordinate planes (overlapping z/y neighbor
+blocks) + K stencil planes + 1 RHS plane out — ~200 MB at 1M DOFs versus
+~1.5 GB for the unfused XLA pipeline.  Geometry, the 96 local-matrix entries
+per cell, quadrature, masking and BC all happen in VMEM.
+
+Blocking: 2D grid over (leading z-blocks, sublane y-blocks).  Halos come
+from overlapping prev/cur/next BlockSpecs on both axes (3 x 3 coordinate
+blocks); x (lane) shifts are rolls whose wraparound lands only on zero
+-coefficient border columns; z/y contribution placement is pure slicing.
+Boundary masks are derived from global iota indices — no mask inputs.
 
 Contracts:
   * ``node_coords_embedded`` layout: [dim, E0, E1, E2] with node (z, y, x)
     at (z+1, y+1, x+1); out-of-range positions carry synthetic index-valued
-    coordinates (finite, nondegenerate geometry), masked out by validity.
-  * zero Dirichlet data only (the reference's model problem); nonzero g goes
-    through the XLA path (tpufem.solve.bc).
+    coordinates (finite geometry), masked out by cell validity.
+  * zero Dirichlet data on the full box boundary (the reference's model
+    problem); other BCs go through the XLA path (tpufem.solve.bc).
 """
 from __future__ import annotations
 
@@ -34,20 +40,15 @@ from jax.experimental.pallas import tpu as pltpu
 from tpufem.assemble.structured import StructuredPlan
 from tpufem.fem.quadrature import QuadratureRule
 from tpufem.mesh.core import Mesh
-from tpufem.ops.stencil_pallas import _shifted
 from tpufem.sparse.stencil import StencilMatrix
 
-__all__ = ["node_coords_embedded", "build_poisson_system_pallas"]
+__all__ = ["node_coords_embedded", "node_coords_embedded_from_grid",
+           "build_poisson_system_pallas"]
 
 
 def node_coords_embedded(mesh: Mesh, plan: StructuredPlan,
                          dtype=np.float32) -> np.ndarray:
-    """[dim, E0, E1, E2] node coordinates in the embedded layout.
-
-    Padding positions get index-proportional synthetic coordinates so any
-    cell touching them still has finite, invertible geometry (its volume is
-    masked to zero in the kernel).
-    """
+    """[dim, E0, E1, E2] node coordinates in the embedded layout."""
     info = plan.info
     coords_grid = np.moveaxis(
         mesh.coords.reshape(info.node_grid + (mesh.dim,)), -1, 0)
@@ -57,12 +58,16 @@ def node_coords_embedded(mesh: Mesh, plan: StructuredPlan,
 def node_coords_embedded_from_grid(coords_grid, plan: StructuredPlan,
                                    dtype=np.float32) -> np.ndarray:
     """Embedded node coords from a [dim, *node_grid] coordinate grid
-    (mesh-free entry point for huge grids)."""
+    (mesh-free entry point for huge grids).
+
+    Padding positions get index-proportional synthetic coordinates so any
+    cell touching them still has finite, invertible geometry (its volume is
+    masked to zero in the kernel).
+    """
     info = plan.info
     ng = info.node_grid                      # (nz1, ny1, nx1)
     sg = plan.store_grid
     dim = coords_grid.shape[0]
-    # synthetic background: index-valued coordinates per axis
     axes = [np.arange(sg[d], dtype=np.float64) - 1.0 for d in range(3)]
     out = np.zeros((dim,) + tuple(sg), dtype)
     Z, Y, X = np.meshgrid(axes[0], axes[1], axes[2], indexing="ij")
@@ -74,18 +79,15 @@ def node_coords_embedded_from_grid(coords_grid, plan: StructuredPlan,
     return out
 
 
-def _det_inv_3x3(J, valid=None):
+def _det_inv_3x3(J, valid):
     c00 = J[1][1] * J[2][2] - J[1][2] * J[2][1]
     c01 = J[1][2] * J[2][0] - J[1][0] * J[2][2]
     c02 = J[1][0] * J[2][1] - J[1][1] * J[2][0]
     det = J[0][0] * c00 + J[0][1] * c01 + J[0][2] * c02
-    if valid is not None:
-        # cells straddling the synthetic-padding seam can be degenerate;
-        # their volumes are masked to zero, but 1/det must stay finite
-        inv_det = jnp.where(valid, 1.0, 0.0) / jnp.where(
-            valid, det, jnp.ones_like(det))
-    else:
-        inv_det = 1.0 / det
+    # cells straddling the synthetic-padding seam can be degenerate; their
+    # volumes are masked to zero, but 1/det must stay finite
+    inv_det = jnp.where(valid, 1.0, 0.0) / jnp.where(
+        valid, det, jnp.ones_like(det))
     c10 = J[0][2] * J[2][1] - J[0][1] * J[2][2]
     c11 = J[0][0] * J[2][2] - J[0][2] * J[2][0]
     c12 = J[0][1] * J[2][0] - J[0][0] * J[2][1]
@@ -98,75 +100,86 @@ def _det_inv_3x3(J, valid=None):
     return det, inv
 
 
-def _place(x, dz_unused, dy, dx):
-    """out[pos] = x[pos - d] per minor axis (roll right/down by d >= 0)."""
-    out = x
-    if dy:
-        out = pltpu.roll(out, dy, 1)
+def _roll_x(x, dx):
+    """out[..., pos] = x[..., pos - dx] (dx >= 0 roll right on lanes)."""
     if dx:
-        out = pltpu.roll(out, dx, 2)
-    return out
+        return pltpu.roll(x, dx, x.ndim - 1)
+    return x
 
 
-def _kernel(cm_ref, c0_ref, cp_ref, bm_ref, b0_ref, bp_ref,
-            data_ref, rhs_ref, *, plan_tables, offsets_grid, block_lead,
-            cell_grid, phi, wq, f_planes, dim, npe, num_types):
-    B = block_lead
+def _shift_x(x, dx):
+    """out[..., pos] = x[..., pos + dx] — lane shift left by dx >= 0."""
+    if dx:
+        return pltpu.roll(x, (-dx) % x.shape[-1], x.ndim - 1)
+    return x
+
+
+def _kernel(c00, c01, c02, c10, c11, c12, c20, c21, c22,
+            data_ref, rhs_ref, *, plan_tables, offsets_grid, Bz, By,
+            node_max, phi, wq, f_planes, dim, npe, num_types):
+    """(z-block zi, y-block yj): build output rows [zi*Bz, +Bz) x
+    [yj*By, +By) x full x of the embedded system.
+
+    cIJ: coordinate blocks [dim, Bz, By, E2] at (z-block zi+I-1 clamped,
+    y-block yj+J-1 clamped).
+    """
     zi = pl.program_id(0)
+    yj = pl.program_id(1)
 
-    # node-coordinate slab: C rows [zi*B - 1, zi*B + B + 1)  (B+2 rows)
-    slab = jnp.concatenate(
-        [cm_ref[:, -1:], c0_ref[...], cp_ref[:, :1]], axis=1)
-    # bc slab, same rows
-    bslab = jnp.concatenate(
-        [bm_ref[-1:], b0_ref[...], bp_ref[:1]], axis=0)
+    # haloed slab [dim, Bz+2, By+2, E2]: store rows [zi*Bz-1, zi*Bz+Bz+1) x
+    # [yj*By-1, yj*By+By+1)
+    def yext(a, b, c):
+        return jnp.concatenate([a[:, :, -1:], b[...], c[:, :, :1]], axis=2)
 
-    e1, e2 = slab.shape[-2], slab.shape[-1]
-    Bp1 = B + 1
+    row_m = yext(c00, c01, c02)
+    row_0 = yext(c10, c11, c12)
+    row_p = yext(c20, c21, c22)
+    slab = jnp.concatenate([row_m[:, -1:], row_0, row_p[:, :1]], axis=1)
 
-    # corner-shifted coordinate planes, shared by every element type:
-    # P[(oz, oy, ox)][d] has, at cell position, the coordinate of the
-    # cell's (oz, oy, ox) corner node.  Cell cz occupies slab rows
-    # s = (cz - zi*B + 2); cells [zi*B - 2, zi*B + B - 1).
+    e2 = slab.shape[-1]
+    Bzp1, Byp1 = Bz + 1, By + 1
+
+    # corner-shifted coordinate planes shared across element types: value at
+    # a cell position = coordinate of the cell's (oz, oy, ox) corner node.
+    # Cell (cz, cy) sits at slab position (cz + 2 - zi*Bz, cy + 2 - yj*By);
+    # cells needed: [zi*Bz - 2, zi*Bz + Bz - 1) x [yj*By - 2, yj*By + By - 1).
     corner = {}
     for oz in (0, 1):
         for oy in (0, 1):
             for ox in (0, 1):
                 planes = []
                 for d in range(dim):
-                    base = jax.lax.slice_in_dim(slab[d], oz, oz + Bp1, axis=0)
-                    planes.append(_shifted(base, (oy, ox)))
+                    base = slab[d, oz:oz + Bzp1, oy:oy + Byp1]
+                    planes.append(_shift_x(base, ox))
                 corner[(oz, oy, ox)] = planes
 
-    # validity of cells
-    gz = (jax.lax.broadcasted_iota(jnp.int32, (Bp1, e1, e2), 0)
-          + zi * B - 2)
-    py = jax.lax.broadcasted_iota(jnp.int32, (Bp1, e1, e2), 1)
-    px = jax.lax.broadcasted_iota(jnp.int32, (Bp1, e1, e2), 2)
-    valid = ((gz >= 0) & (gz < cell_grid[0])
-             & (py >= 1) & (py <= cell_grid[1])
-             & (px >= 1) & (px <= cell_grid[2]))
+    # cell validity from global indices
+    shape_c = (Bzp1, Byp1, e2)
+    gz = jax.lax.broadcasted_iota(jnp.int32, shape_c, 0) + zi * Bz - 2
+    gy = jax.lax.broadcasted_iota(jnp.int32, shape_c, 1) + yj * By - 2
+    gx = jax.lax.broadcasted_iota(jnp.int32, shape_c, 2) - 1
+    valid = ((gz >= 0) & (gz < node_max[0])
+             & (gy >= 0) & (gy < node_max[1])
+             & (gx >= 0) & (gx < node_max[2]))
 
-    # accumulate directly in the output VMEM blocks (they are step-local
-    # scratch until written back), keeping the live set small
     K = data_ref.shape[0]
+    out_dtype = slab.dtype
     for k in range(K):
-        data_ref[k] = jnp.zeros((B, e1, e2), dtype=slab.dtype)
-    rhs_ref[...] = jnp.zeros((B, e1, e2), dtype=slab.dtype)
+        data_ref[k] = jnp.zeros((Bz, By, e2), out_dtype)
+    rhs_ref[...] = jnp.zeros((Bz, By, e2), out_dtype)
 
     for t in range(num_types):
         entry_k, node_off = plan_tables[t]
-        Xt = [corner[node_off[n_]] for n_ in range(npe)]   # [npe][dim] planes
+        Xt = [corner[node_off[n_]] for n_ in range(npe)]
         J = [[Xt[m][d] - Xt[npe - 1][d] for m in range(dim)]
              for d in range(dim)]
         det, inv = _det_inv_3x3(J, valid)
-        adet = jnp.where(valid, jnp.abs(det), 0.0)   # for quadrature loads
-        vol = adet * (1.0 / 6.0)                     # reference-tet measure
+        adet = jnp.where(valid, jnp.abs(det), 0.0)
+        vol = adet * (1.0 / 6.0)
         G = [[inv[n_][d] for d in range(dim)] for n_ in range(dim)]
         G.append([-sum(inv[n_][d] for n_ in range(dim))
                   for d in range(dim)])
 
-        # RHS quadrature: acc_a = sum_q w_q phi[q, a] f(x_q)
         facc = [None] * npe
         for q in range(len(wq)):
             xq = [sum(phi[q][n_] * Xt[n_][d] for n_ in range(npe))
@@ -178,25 +191,36 @@ def _kernel(cm_ref, c0_ref, cp_ref, bm_ref, b0_ref, bp_ref,
 
         for a in range(npe):
             oz, oy, ox = node_off[a]
-            # stiffness contributions of row a
+            # contribution of cell (cz, cy) lands on output row
+            # (cz + oz + 1 - zi*Bz, cy + oy + 1 - yj*By): z/y are slices,
+            # x is a roll (wraparound hits zero-coefficient borders).
+            zsl = slice(1 - oz, 1 - oz + Bz)
+            ysl = slice(1 - oy, 1 - oy + By)
             for b in range(npe):
                 k = entry_k[a][b]
                 ke = sum(G[a][d] * G[b][d] for d in range(dim)) * vol
-                contrib = jax.lax.slice_in_dim(ke, 1 - oz, 1 - oz + B, axis=0)
-                data_ref[k] = data_ref[k] + _place(contrib, 0, oy, ox)
-            # load contribution of row a (weights already sum to 1/6)
-            la = facc[a] * adet
-            lc = jax.lax.slice_in_dim(la, 1 - oz, 1 - oz + B, axis=0)
-            rhs_ref[...] = rhs_ref[...] + _place(lc, 0, oy, ox)
+                data_ref[k] = data_ref[k] + _roll_x(ke[zsl, ysl], ox)
+            la = (facc[a] * adet)[zsl, ysl]
+            rhs_ref[...] = rhs_ref[...] + _roll_x(la, ox)
 
-    # zero-Dirichlet elimination via 0/1 float masks (bc blocks are float):
-    # keep = (1 - bc_row)(1 - bc_col); identity diagonal re-added as +bc_row
-    bc_row = jax.lax.slice_in_dim(bslab, 1, 1 + B, axis=0)
+    # zero-Dirichlet on the box boundary, masks from global node indices
+    shape_o = (Bz, By, e2)
+    nz_ = jax.lax.broadcasted_iota(jnp.int32, shape_o, 0) + zi * Bz - 1
+    ny_ = jax.lax.broadcasted_iota(jnp.int32, shape_o, 1) + yj * By - 1
+    nx_ = jax.lax.broadcasted_iota(jnp.int32, shape_o, 2) - 1
+
+    def bc_of(z, y, x):
+        inside = ((z >= 0) & (z <= node_max[0]) & (y >= 0)
+                  & (y <= node_max[1]) & (x >= 0) & (x <= node_max[2]))
+        on_bd = ((z == 0) | (z == node_max[0]) | (y == 0)
+                 | (y == node_max[1]) | (x == 0) | (x == node_max[2]))
+        return (inside & on_bd).astype(out_dtype)
+
+    bc_row = bc_of(nz_, ny_, nx_)
     keep_row = 1.0 - bc_row
     for k in range(K):
         dz, dy, dx = offsets_grid[k]
-        base = jax.lax.slice_in_dim(bslab, 1 + dz, 1 + dz + B, axis=0)
-        bc_col = _shifted(base, (dy, dx))
+        bc_col = bc_of(nz_ + dz, ny_ + dy, nx_ + dx)
         dk = data_ref[k] * keep_row * (1.0 - bc_col)
         if dz == 0 and dy == 0 and dx == 0:
             dk = dk + bc_row
@@ -204,14 +228,28 @@ def _kernel(cm_ref, c0_ref, cp_ref, bm_ref, b0_ref, bp_ref,
     rhs_ref[...] = rhs_ref[...] * keep_row
 
 
-def build_poisson_system_pallas(plan: StructuredPlan, C_emb, bc_mask,
-                                f_planes, rule: QuadratureRule, *,
-                                block_lead: int = 1,
-                                interpret: bool = False):
-    """One-pass system build: (StencilMatrix, b) with zero-Dirichlet BC.
+def _pick_blocks(sg, K):
+    """(Bz, By): block sizes dividing the store dims.
 
-    C_emb: node coords from ``node_coords_embedded``; bc_mask: embedded bool
-    [num_store_rows]; f_planes(x, y, z) -> plane.  3D structured only.
+    Small fixed blocks keep every VMEM live value tiny (the Mosaic compiler
+    dies silently on large per-step live sets); By must be a sublane-tile
+    multiple (8), Bz anything dividing sg[0].
+    """
+    Bz = 4 if sg[0] % 4 == 0 else (2 if sg[0] % 2 == 0 else 1)
+    By = 8 if sg[1] % 8 == 0 else sg[1]
+    return Bz, By
+
+
+def build_poisson_system_pallas(plan: StructuredPlan, C_emb, bc_mask=None,
+                                f_planes=None, rule: QuadratureRule = None, *,
+                                block_lead: int | None = None,
+                                block_minor: int | None = None,
+                                interpret: bool = False):
+    """One-pass system build: (StencilMatrix, b) with box zero-Dirichlet BC.
+
+    C_emb: node coords from ``node_coords_embedded``; ``bc_mask`` is accepted
+    for API compatibility but unused — the kernel derives the box-boundary
+    mask from grid indices.  f_planes(x, y, z) -> plane.  3D structured only.
     """
     if not plan.embedded:
         raise ValueError("plan must be built with structured_plan(embed=True)")
@@ -223,9 +261,13 @@ def build_poisson_system_pallas(plan: StructuredPlan, C_emb, bc_mask,
     dim = 3
     npe = 4
     T = info.num_types
-    if sg[0] % block_lead:
-        raise ValueError("store leading dim not divisible by block_lead")
-    nblk = sg[0] // block_lead
+    auto_bz, auto_by = _pick_blocks(sg, K)
+    Bz = block_lead if block_lead is not None else auto_bz
+    By = block_minor if block_minor is not None else auto_by
+    if sg[0] % Bz or sg[1] % By:
+        raise ValueError(f"store dims {sg} not divisible by blocks "
+                         f"({Bz}, {By})")
+    nzb, nyb = sg[0] // Bz, sg[1] // By
 
     from tpufem.fem.elements import P1Tetrahedron
 
@@ -241,58 +283,44 @@ def build_poisson_system_pallas(plan: StructuredPlan, C_emb, bc_mask,
                     for a in range(npe)]
         plan_tables.append((entry_k, node_off))
 
-    bc_grid = jnp.asarray(bc_mask, C_emb.dtype).reshape(sg)  # 0/1 float mask
-    zeros3 = (0, 0, 0)
-    cblock = (dim, block_lead) + tuple(sg[1:])
-    bblock = (block_lead,) + tuple(sg[1:])
+    # node index maxima (node coords run 0..n per axis, z/y/x order)
+    node_max = (info.node_grid[0] - 1, info.node_grid[1] - 1,
+                info.node_grid[2] - 1)
 
     kern = functools.partial(
         _kernel, plan_tables=plan_tables,
         offsets_grid=tuple(tuple(int(v) for v in o)
                            for o in plan.offsets_grid),
-        block_lead=block_lead,
-        cell_grid=tuple(int(c) for c in info.cell_grid),
+        Bz=Bz, By=By, node_max=node_max,
         phi=phi, wq=wq, f_planes=f_planes, dim=dim, npe=npe, num_types=T)
 
-    def prev(i):
-        return (0, jnp.maximum(i - 1, 0)) + (0, 0)
+    cblock = (dim, Bz, By, sg[2])
 
-    def cur(i):
-        return (0, i) + (0, 0)
+    def cmap(di, dj):
+        def m(zi, yj):
+            z = jnp.clip(zi + di, 0, nzb - 1)
+            y = jnp.clip(yj + dj, 0, nyb - 1)
+            return (0, z, y, 0)
+        return m
 
-    def nxt(i):
-        return (0, jnp.minimum(i + 1, nblk - 1)) + (0, 0)
-
-    def bprev(i):
-        return (jnp.maximum(i - 1, 0),) + zeros3[:2]
-
-    def bcur(i):
-        return (i,) + zeros3[:2]
-
-    def bnxt(i):
-        return (jnp.minimum(i + 1, nblk - 1),) + zeros3[:2]
+    in_specs = [pl.BlockSpec(cblock, cmap(di, dj), memory_space=pltpu.VMEM)
+                for di in (-1, 0, 1) for dj in (-1, 0, 1)]
 
     data, rhs = pl.pallas_call(
         kern,
-        grid=(nblk,),
-        in_specs=[
-            pl.BlockSpec(cblock, prev, memory_space=pltpu.VMEM),
-            pl.BlockSpec(cblock, cur, memory_space=pltpu.VMEM),
-            pl.BlockSpec(cblock, nxt, memory_space=pltpu.VMEM),
-            pl.BlockSpec(bblock, bprev, memory_space=pltpu.VMEM),
-            pl.BlockSpec(bblock, bcur, memory_space=pltpu.VMEM),
-            pl.BlockSpec(bblock, bnxt, memory_space=pltpu.VMEM),
-        ],
+        grid=(nzb, nyb),
+        in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((K,) + bblock, lambda i: (0, i, 0, 0),
+            pl.BlockSpec((K, Bz, By, sg[2]), lambda zi, yj: (0, zi, yj, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(bblock, bcur, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bz, By, sg[2]), lambda zi, yj: (zi, yj, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((K,) + tuple(sg), C_emb.dtype),
             jax.ShapeDtypeStruct(tuple(sg), C_emb.dtype),
         ),
         interpret=interpret,
-    )(C_emb, C_emb, C_emb, bc_grid, bc_grid, bc_grid)
+    )(*([C_emb] * 9))
     n = int(np.prod(sg))
     return StencilMatrix(data.reshape(K, n), plan.offsets), rhs.reshape(-1)

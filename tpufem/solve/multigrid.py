@@ -145,6 +145,23 @@ class MGLevel:
     coarse_inverse: Optional[jax.Array] = None   # dense [NN, NN], coarsest
 
 
+def _mglevel_flatten(l):
+    return ((l.data, l.inv_diag, l.bc_mask, l.coarse_inverse),
+            (l.plan, l.block_lead))
+
+
+def _mglevel_unflatten(aux, ch):
+    return MGLevel(plan=aux[0], data=ch[0], inv_diag=ch[1], bc_mask=ch[2],
+                   block_lead=aux[1], coarse_inverse=ch[3])
+
+
+# Registered as a pytree so hierarchies pass through jit as *arguments* —
+# closing over level arrays bakes them into the compiled HLO as constants,
+# which blows the remote compiler's request-size limit at 10M+ DOFs.
+jax.tree_util.register_pytree_node(MGLevel, _mglevel_flatten,
+                                   _mglevel_unflatten)
+
+
 def _matvec(level: MGLevel, x, use_pallas: bool):
     if use_pallas:
         return stencil_matvec_embedded(level.data, x, level.plan,

@@ -46,6 +46,7 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
                        dtype=jnp.float32, quadrature_degree: int = 3,
                        use_multigrid: bool = True,
                        levels: Optional[int] = None,
+                       use_fused: bool = True,
                        interpret: bool = False) -> FastSolution:
     """Assemble + solve -Δu = f, u|∂Ω = 0 on (domain)³ with n_cells³ cells.
 
@@ -69,17 +70,13 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
     t0 = time.perf_counter()
     rule = tetrahedron_rule(quadrature_degree)
 
-    # The fused kernel's VMEM live-set scales with the minor plane size;
-    # beyond ~16k lane-elements per plane (n ~> 128) build on the CPU
-    # backend from zero-copy node-grid views and ship the system over.
-    fused_ok = (plan.store_grid[1] * plan.store_grid[2]) <= 16384
-
-    if fused_ok or interpret:
+    # The (z, y)-blocked fused kernel handles any grid size; the CPU views
+    # build below remains as an escape hatch (use_fused=False).
+    if use_fused or interpret:
         @jax.jit
         def build(C):
             A, b = build_poisson_system_pallas(
-                plan, C, bc_mask, f_planes, rule, block_lead=1,
-                interpret=interpret)
+                plan, C, bc_mask, f_planes, rule, interpret=interpret)
             return A.data, b
 
         data, b = build(C)
@@ -108,25 +105,36 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
     phases["assemble_wall"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    mg_levels = None
     if use_multigrid:
         mg_levels = build_poisson_multigrid(
             domain, n_cells, 3, dtype=dtype, levels=levels,
             top=(data, bc_mask))
-        M = mg_preconditioner(mg_levels, nu1=1, nu2=1,
-                              use_pallas=not interpret)
-    else:
-        diag_k = plan.offsets.index(0)
-        d = data[diag_k]
-        inv_d = jnp.where(d != 0, 1.0 / d, 1.0)
-        M = lambda r: r * inv_d
     phases["hierarchy"] = time.perf_counter() - t0
 
-    def mv(v):
-        return stencil_matvec_embedded(data, v, plan, block_lead=block_lead,
-                                       interpret=interpret)
+    # all arrays enter the jitted solve as ARGUMENTS (a closure would bake
+    # them into the HLO as constants and overflow the remote compiler's
+    # request-size limit at 10M+ DOFs)
+    @jax.jit
+    def solve(b, data, lv):
+        if lv is not None:
+            M = mg_preconditioner(lv, nu1=1, nu2=1,
+                                  use_pallas=not interpret)
+        else:
+            diag_k = plan.offsets.index(0)
+            d = data[diag_k]
+            inv_d = jnp.where(d != 0, 1.0 / d, 1.0)
+            M = lambda r: r * inv_d
+
+        def mv(v):
+            return stencil_matvec_embedded(data, v, plan,
+                                           block_lead=block_lead,
+                                           interpret=interpret)
+
+        return cg(mv, b, tol=tol, maxiter=maxiter, M=M)
 
     t0 = time.perf_counter()
-    res = jax.jit(lambda b: cg(mv, b, tol=tol, maxiter=maxiter, M=M))(b)
+    res = solve(b, data, mg_levels)
     res.x.block_until_ready()
     phases["solve_wall"] = time.perf_counter() - t0
 
