@@ -157,3 +157,28 @@ def test_solve_poisson_fast_cpu():
     u = np.asarray(sol.u)
     rel = np.sqrt(np.mean((u - ue) ** 2)) / np.sqrt(np.mean(ue ** 2))
     assert rel < 0.05
+
+
+def test_fused_smoother_and_residual_kernels():
+    from tpufem.ops.stencil_pallas import (stencil_residual_embedded,
+                                           stencil_smooth_embedded)
+
+    mesh = box_mesh(-3, 3, -3, 3, -3, 3, 6, 6, 6)
+    plan, A, b = _embedded_system(mesh, "tetrahedron", tetrahedron_rule(3),
+                                  model_problem_3d_planes())
+    rng = np.random.default_rng(0)
+    x = plan.embed_field(jnp.asarray(rng.standard_normal(mesh.num_nodes)))
+    d = A.data[plan.offsets.index(0)]
+    inv_d = jnp.where(d != 0, 1.0 / d, 1.0)
+
+    r_ref = b - A.matvec(x)
+    r_pal = stencil_residual_embedded(A.data, b, x, plan, block_lead=2,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(r_pal), np.asarray(r_ref),
+                               rtol=1e-12, atol=1e-12)
+
+    s_ref = x + 0.8 * inv_d * (b - A.matvec(x))
+    s_pal = stencil_smooth_embedded(A.data, b, x, inv_d, plan, omega=0.8,
+                                    block_lead=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(s_pal), np.asarray(s_ref),
+                               rtol=1e-12, atol=1e-12)

@@ -40,7 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["stencil_matvec_embedded", "pick_block_lead"]
+__all__ = ["stencil_matvec_embedded", "stencil_residual_embedded",
+           "stencil_smooth_embedded", "pick_block_lead"]
 
 
 def _shifted(base, off_minor):
@@ -57,8 +58,9 @@ def _shifted(base, off_minor):
     return out
 
 
-def _kernel(data_ref, xm_ref, x0_ref, xp_ref, y_ref, *, offsets_grid,
-            block_lead):
+def _apply_stencil(data_ref, xm_ref, x0_ref, xp_ref, offsets_grid,
+                   block_lead):
+    """A x on one block from the three neighbor x blocks."""
     # assemble the haloed slab [B+2, ...] from the three neighbor blocks
     xv = jnp.concatenate(
         [xm_ref[-1:], x0_ref[...], xp_ref[:1]], axis=0)
@@ -70,7 +72,29 @@ def _kernel(data_ref, xm_ref, x0_ref, xp_ref, y_ref, *, offsets_grid,
         base = jax.lax.slice_in_dim(xv, 1 + dz, 1 + dz + block_lead, axis=0)
         term = data_ref[k] * _shifted(base, minor)
         acc = term if acc is None else acc + term
-    y_ref[...] = acc
+    return acc
+
+
+def _kernel(data_ref, xm_ref, x0_ref, xp_ref, y_ref, *, offsets_grid,
+            block_lead):
+    y_ref[...] = _apply_stencil(data_ref, xm_ref, x0_ref, xp_ref,
+                                offsets_grid, block_lead)
+
+
+def _kernel_residual(data_ref, xm_ref, x0_ref, xp_ref, b_ref, y_ref, *,
+                     offsets_grid, block_lead):
+    """y = b - A x (fused residual: one pass instead of matvec + subtract)."""
+    ax = _apply_stencil(data_ref, xm_ref, x0_ref, xp_ref, offsets_grid,
+                        block_lead)
+    y_ref[...] = b_ref[...] - ax
+
+
+def _kernel_smooth(data_ref, xm_ref, x0_ref, xp_ref, r_ref, invd_ref, y_ref,
+                   *, offsets_grid, block_lead, omega):
+    """y = x + omega * invd * (r - A x) — one fused weighted-Jacobi sweep."""
+    ax = _apply_stencil(data_ref, xm_ref, x0_ref, xp_ref, offsets_grid,
+                        block_lead)
+    y_ref[...] = x0_ref[...] + omega * invd_ref[...] * (r_ref[...] - ax)
 
 
 def pick_block_lead(store_grid, width, dtype_bytes=4,
@@ -92,13 +116,9 @@ def pick_block_lead(store_grid, width, dtype_bytes=4,
     return best
 
 
-def stencil_matvec_embedded(data, x, plan, *, block_lead: int | None = None,
-                            interpret: bool = False):
-    """y = A x on the embedded storage layout.
-
-    data: [K, num_store_rows] (StencilMatrix.data from an embed=True plan);
-    x:    [num_store_rows]; returns y [num_store_rows].
-    """
+def _stencil_call(kern_fn, data, x, extras, plan, block_lead, interpret,
+                  **kern_kwargs):
+    """Shared driver: stencil kernel over (data, 3x x halo blocks, *extras)."""
     if not plan.embedded:
         raise ValueError("plan must be built with structured_plan(embed=True)")
     sg = plan.store_grid
@@ -115,6 +135,7 @@ def stencil_matvec_embedded(data, x, plan, *, block_lead: int | None = None,
 
     data_g = data.reshape((K,) + sg)
     x_g = x.reshape(sg)
+    extras_g = [e.reshape(sg) for e in extras]
 
     zeros = (0,) * (g - 1)
     xblock = (block_lead,) + sg[1:]
@@ -128,20 +149,49 @@ def stencil_matvec_embedded(data, x, plan, *, block_lead: int | None = None,
     def xmap_next(i):
         return (jnp.minimum(i + 1, nblk - 1),) + zeros
 
-    kern = functools.partial(_kernel, offsets_grid=offsets_grid,
-                             block_lead=block_lead)
+    kern = functools.partial(kern_fn, offsets_grid=offsets_grid,
+                             block_lead=block_lead, **kern_kwargs)
+    in_specs = [
+        pl.BlockSpec((K,) + xblock, lambda i: (0, i) + zeros,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(xblock, xmap_prev, memory_space=pltpu.VMEM),
+        pl.BlockSpec(xblock, xmap_cur, memory_space=pltpu.VMEM),
+        pl.BlockSpec(xblock, xmap_next, memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec(xblock, xmap_cur, memory_space=pltpu.VMEM)
+         for _ in extras_g]
     y = pl.pallas_call(
         kern,
         grid=(nblk,),
-        in_specs=[
-            pl.BlockSpec((K,) + xblock, lambda i: (0, i) + zeros,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(xblock, xmap_prev, memory_space=pltpu.VMEM),
-            pl.BlockSpec(xblock, xmap_cur, memory_space=pltpu.VMEM),
-            pl.BlockSpec(xblock, xmap_next, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(xblock, xmap_cur, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(sg, data.dtype),
         interpret=interpret,
-    )(data_g, x_g, x_g, x_g)
+    )(data_g, x_g, x_g, x_g, *extras_g)
     return y.reshape(-1)
+
+
+def stencil_matvec_embedded(data, x, plan, *, block_lead: int | None = None,
+                            interpret: bool = False):
+    """y = A x on the embedded storage layout.
+
+    data: [K, num_store_rows] (StencilMatrix.data from an embed=True plan);
+    x:    [num_store_rows]; returns y [num_store_rows].
+    """
+    return _stencil_call(_kernel, data, x, [], plan, block_lead, interpret)
+
+
+def stencil_residual_embedded(data, b, x, plan, *,
+                              block_lead: int | None = None,
+                              interpret: bool = False):
+    """r = b - A x, fused in one pass."""
+    return _stencil_call(_kernel_residual, data, x, [b], plan, block_lead,
+                         interpret)
+
+
+def stencil_smooth_embedded(data, r, x, inv_diag, plan, *,
+                            omega: float = 0.8,
+                            block_lead: int | None = None,
+                            interpret: bool = False):
+    """x + omega * inv_diag * (r - A x): one fused weighted-Jacobi sweep."""
+    return _stencil_call(_kernel_smooth, data, x, [r, inv_diag], plan,
+                         block_lead, interpret, omega=omega)

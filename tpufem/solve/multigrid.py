@@ -35,7 +35,10 @@ import jax.numpy as jnp
 from tpufem.assemble.structured import (StructuredPlan,
                                         assemble_stencil_structured_bt,
                                         structured_plan)
-from tpufem.ops.stencil_pallas import pick_block_lead, stencil_matvec_embedded
+from tpufem.ops.stencil_pallas import (pick_block_lead,
+                                        stencil_matvec_embedded,
+                                        stencil_residual_embedded,
+                                        stencil_smooth_embedded)
 from tpufem.solve.bc import apply_dirichlet_stencil
 from tpufem.sparse.stencil import stencil_matvec
 
@@ -169,6 +172,22 @@ def _matvec(level: MGLevel, x, use_pallas: bool):
     return stencil_matvec(level.data, level.plan.offsets, x)
 
 
+def _smooth(level: MGLevel, r, e, omega: float, use_pallas: bool):
+    """One weighted-Jacobi sweep e + omega D^-1 (r - A e) (fused on TPU)."""
+    if use_pallas:
+        return stencil_smooth_embedded(level.data, r, e, level.inv_diag,
+                                       level.plan, omega=omega,
+                                       block_lead=level.block_lead)
+    return e + omega * level.inv_diag * (r - _matvec(level, e, False))
+
+
+def _residual(level: MGLevel, r, e, use_pallas: bool):
+    if use_pallas:
+        return stencil_residual_embedded(level.data, r, e, level.plan,
+                                         block_lead=level.block_lead)
+    return r - _matvec(level, e, False)
+
+
 def _light_grid(domain, s: int, dim: int):
     """(StructuredInfo, node coords grid [dim, *ng], bc grid) — no Mesh, no
     connectivity: hierarchy setup at 10M+ DOFs must not materialize element
@@ -235,6 +254,27 @@ def build_poisson_multigrid(domain, n_cells: int, dim: int, *,
             data, bc = top
             data = jax.device_put(jnp.asarray(data), default)
             bc = jax.device_put(jnp.asarray(bc, bool), default)
+            diag_k = plan.offsets.index(0)
+            d = data[diag_k]
+            inv_d = jnp.where(d != 0, 1.0 / d, 1.0)
+        elif (dim == 3 and use_pallas
+              and int(np.prod(info.node_grid)) > 50_000_000):
+            # (disabled below 50M nodes: each fused per-level build costs a
+            # remote-compiler round with 40-400 s variance, which loses to
+            # the predictable single-core CPU assembly at every size we run)
+            from tpufem.fem.quadrature import tetrahedron_rule
+            from tpufem.ops.fused_system_pallas import (
+                build_poisson_system_pallas, node_coords_embedded_from_grid)
+
+            C = jax.device_put(jnp.asarray(node_coords_embedded_from_grid(
+                coords_grid, plan, np.dtype(dtype).type)), default)
+            A, _ = jax.jit(lambda c: build_poisson_system_pallas(
+                plan, c, None, lambda x, y, z: x * 0.0,
+                tetrahedron_rule(1)))(C)
+            data = A.data
+            bc = jax.device_put(
+                plan.embed_field(jnp.asarray(bc_grid.reshape(-1)),
+                                 fill=False), default)
             diag_k = plan.offsets.index(0)
             d = data[diag_k]
             inv_d = jnp.where(d != 0, 1.0 / d, 1.0)
@@ -327,15 +367,14 @@ def v_cycle(levels: List[MGLevel], r, *, li: int = 0, nu1: int = 2,
         # no dense inverse: damp with extra Jacobi sweeps
         e = omega * level.inv_diag * r
         for _ in range(20):
-            e = e + omega * level.inv_diag * (
-                r - _matvec(level, e, use_pallas))
+            e = _smooth(level, r, e, omega, use_pallas)
         return e
 
     e = omega * level.inv_diag * r            # first Jacobi sweep from e = 0
     for _ in range(nu1 - 1):
-        e = e + omega * level.inv_diag * (r - _matvec(level, e, use_pallas))
+        e = _smooth(level, r, e, omega, use_pallas)
 
-    resid = r - _matvec(level, e, use_pallas)
+    resid = _residual(level, r, e, use_pallas)
     rc_grid = restrict(_grid(level, resid), dim)
     rc = _store(levels[li + 1], rc_grid)
     rc = jnp.where(levels[li + 1].bc_mask, 0, rc)
@@ -347,7 +386,7 @@ def v_cycle(levels: List[MGLevel], r, *, li: int = 0, nu1: int = 2,
     e = e + _store(level, ef_grid)
 
     for _ in range(nu2):
-        e = e + omega * level.inv_diag * (r - _matvec(level, e, use_pallas))
+        e = _smooth(level, r, e, omega, use_pallas)
     return e
 
 
