@@ -23,7 +23,8 @@ import numpy as np
 
 from tpufem.mesh.core import Mesh, StructuredInfo
 
-__all__ = ["rectangle_mesh", "unit_square_mesh", "RectangleMesh", "UnitSquareMesh"]
+__all__ = ["rectangle_mesh", "unit_square_mesh", "RectangleMesh",
+           "UnitSquareMesh", "perturbed_rectangle_mesh"]
 
 
 def rectangle_mesh(
@@ -78,6 +79,37 @@ def rectangle_mesh(
 def unit_square_mesh(n_row: int, n_col: int) -> Mesh:
     """Parity: UnitSquareMesh (/root/reference/fea_test.cu:135-140)."""
     return rectangle_mesh(0.0, 1.0, 0.0, 1.0, n_row, n_col)
+
+
+def perturbed_rectangle_mesh(x0, x1, y0, y1, n_row, n_col, *,
+                             jitter: float = 0.2, seed: int = 0,
+                             renumber: bool = True) -> Mesh:
+    """An *unstructured* triangle mesh: structured topology with randomly
+    renumbered nodes and jittered interior coordinates.
+
+    Exercises the index-based (ELL / sorted-COO) pipeline — the result has
+    no fixed-offset stencil structure (BASELINE config 2).  ``jitter`` is
+    the coordinate perturbation in units of the cell size (< 0.5 keeps all
+    triangles valid).
+    """
+    base = rectangle_mesh(x0, x1, y0, y1, n_row, n_col)
+    rng = np.random.default_rng(seed)
+    if renumber:
+        perm = rng.permutation(base.num_nodes).astype(np.int32)
+    else:
+        perm = np.arange(base.num_nodes, dtype=np.int32)
+    coords = np.empty_like(base.coords)
+    coords[perm] = base.coords
+    flags = np.empty_like(base.node_flags)
+    flags[perm] = base.node_flags
+    conn = perm[base.conn]
+    if jitter:
+        h = min((x1 - x0) / n_col, (y1 - y0) / n_row)
+        interior = flags == 0
+        coords[interior] += rng.uniform(-jitter * h, jitter * h,
+                                        (int(interior.sum()), 2))
+    return Mesh(coords=coords, conn=conn, node_flags=flags,
+                cell_type="triangle")
 
 
 # Class-style aliases mirroring the reference API surface.
