@@ -7,7 +7,7 @@ stencil SpMV) for 3D Poisson problems on structured box meshes:
     from tpufem.solve.structured_fast import solve_poisson_fast
     sol = solve_poisson_fast((-3, 3), n_cells=96, f_planes=f, tol=1e-5)
 
-6.2 ms device time at 913k DOFs on one v5e (assemble 1.6 ms + 10 MG-PCG
+6.0 ms device time at 913k DOFs on one v5e (assemble 1.2 ms + 10 MG-PCG
 iterations); scales past 11M DOFs on a single chip (the finest level is
 built on-device by the fused kernel, so hierarchy setup never materializes
 element arrays on the host).
