@@ -159,3 +159,15 @@ def test_debug_validators():
     import pytest as _pytest
     with _pytest.raises(AssertionError):
         validate_ell_pattern(bad, mesh.conn, mesh.num_nodes)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from tpufem.io.checkpoint import orbax_restore, orbax_save
+
+    tree = {"x": jnp.arange(16.0), "meta": jnp.asarray([3])}
+    path = str(tmp_path / "orbax_ckpt")
+    orbax_save(path, tree)
+    back = orbax_restore(path, tree)
+    np.testing.assert_array_equal(np.asarray(back["x"]),
+                                  np.asarray(tree["x"]))
+    assert int(back["meta"][0]) == 3

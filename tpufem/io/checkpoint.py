@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from tpufem.sparse.ell import ELLMatrix
 from tpufem.sparse.stencil import StencilMatrix
 
-__all__ = ["save_system", "load_system", "save_solution", "load_solution"]
+__all__ = ["save_system", "load_system", "save_solution", "load_solution",
+           "orbax_save", "orbax_restore"]
 
 _KINDS = {"ell": ELLMatrix, "stencil": StencilMatrix}
 
@@ -89,3 +90,27 @@ def load_solution(path: str):
         info.update({k[6:]: np.asarray(z[k]) for k in z.files
                      if k.startswith("extra_")})
     return x, info
+
+
+# -- orbax variant (async / sharded checkpoints of large runs) ---------------
+
+def orbax_save(path: str, pytree) -> None:
+    """Checkpoint an arbitrary jax pytree with orbax (preserves shardings;
+    the right choice for multi-chip state like MG hierarchies or distributed
+    CG iterates)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), pytree, force=True)
+
+
+def orbax_restore(path: str, reference_pytree=None):
+    """Restore a pytree saved by orbax_save.  ``reference_pytree`` (abstract
+    shapes or a matching example) restores with the original structure and
+    target shardings."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        if reference_pytree is not None:
+            return ckptr.restore(os.path.abspath(path), reference_pytree)
+        return ckptr.restore(os.path.abspath(path))
