@@ -16,5 +16,23 @@ from tpufem.fem.space import FunctionSpace, VectorFunctionSpace
 from tpufem.fem.quadrature import triangle_rule, tetrahedron_rule, rule_for_cell
 from tpufem.solve.cg import cg, CGResult
 from tpufem.sparse.ell import ELLMatrix
+from tpufem.sparse.stencil import StencilMatrix
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # heavier entry points resolved lazily to keep `import tpufem` light
+    if name == "WeakForm":
+        from tpufem.forms.weakform import WeakForm
+        return WeakForm
+    if name == "solve_poisson_fast":
+        from tpufem.solve.structured_fast import solve_poisson_fast
+        return solve_poisson_fast
+    if name == "build_poisson_multigrid":
+        from tpufem.solve.multigrid import build_poisson_multigrid
+        return build_poisson_multigrid
+    if name == "solve_elasticity":
+        from tpufem.solve.elasticity import solve_elasticity
+        return solve_elasticity
+    raise AttributeError(f"module 'tpufem' has no attribute {name!r}")
