@@ -1,5 +1,7 @@
 """Driver entry points: entry() compiles single-chip; dryrun_multichip runs
 the full distributed step on the virtual CPU mesh."""
+import os
+import subprocess
 import sys
 
 import numpy as np
@@ -24,13 +26,35 @@ def test_dryrun_multichip(cpu_devices):
     ge.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_bare_subprocess():
+    """Run the driver's exact check in a fresh process with scrubbed env.
+
+    Round 1 failed because conftest pre-set XLA_FLAGS, masking that
+    __graft_entry__ did not self-provision the virtual CPU mesh
+    (VERDICT.md item 1). This test removes every jax-related env var so the
+    module must do the provisioning itself.
+    """
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")}
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=600)
+    assert proc.returncode == 0, (
+        f"bare dryrun failed rc={proc.returncode}\n"
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}")
+    assert "dryrun_multichip(8)" in proc.stdout
+
+
 def test_examples_importable():
     """Example scripts must at least import (they are user documentation)."""
     import importlib.util
     import pathlib
 
     for name in ["poisson_2d", "poisson_3d_multigrid", "reduction_bench",
-                 "saxpy_pallas", "aot_compile"]:
+                 "saxpy_pallas", "aot_compile", "heat_equation",
+                 "poisson_10m"]:
         path = pathlib.Path("/root/repo/examples") / f"{name}.py"
         spec = importlib.util.spec_from_file_location(name, path)
         mod = importlib.util.module_from_spec(spec)
