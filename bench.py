@@ -40,11 +40,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tpufem.assemble.structured import structured_plan
 from tpufem.fem.quadrature import tetrahedron_rule
-from tpufem.mesh.box import box_mesh
 from tpufem.ops.fused_system_pallas import (build_poisson_system_pallas,
-                                            node_coords_embedded)
+                                            node_coords_embedded_from_grid)
 from tpufem.ops.stencil_pallas import pick_block_lead, stencil_matvec_embedded
-from tpufem.solve.multigrid import build_poisson_multigrid, mg_preconditioner
+from tpufem.solve.multigrid import (_light_grid, build_poisson_multigrid,
+                                    mg_preconditioner)
 from tpufem.solve.poisson import model_problem_3d, model_problem_3d_planes
 from tpufem.utils.timing import PhaseTimer, device_seconds_per_rep
 
@@ -86,17 +86,20 @@ def main():
     timer = PhaseTimer()
 
     with timer("host_mesh_and_plan"):
-        mesh = box_mesh(-3, 3, -3, 3, -3, 3, n, n, n)
-        plan = structured_plan(mesh, embed=True)
-        Ch = node_coords_embedded(mesh, plan, np.float32)
-    nn = mesh.num_nodes
+        # mesh-free setup: the structured pipeline needs only the node
+        # coordinate grid + boundary mask, never element arrays
+        # (VERDICT.md item 3a)
+        info, coords_grid, bc_grid = _light_grid((-3.0, 3.0), n, 3)
+        plan = structured_plan(info, embed=True)
+        Ch = node_coords_embedded_from_grid(coords_grid, plan, np.float32)
+    nn = int(np.prod(info.node_grid))
     ns = plan.num_store_rows
     offsets = plan.offsets
     block_lead = pick_block_lead(plan.store_grid, plan.width)
     rule = tetrahedron_rule(3)
     f_planes = model_problem_3d_planes()
     _, exact = model_problem_3d()
-    bc_mask = plan.embed_field(jnp.asarray(mesh.node_flags != 0), fill=False)
+    bc_mask = plan.embed_field(jnp.asarray(bc_grid.reshape(-1)), fill=False)
 
     with timer("h2d"):
         X = jax.device_put(jnp.asarray(Ch))
@@ -119,8 +122,11 @@ def main():
 
     with timer("build_mg_hierarchy"):
         if solver == "mg":
+            # finest level reuses the fused on-device build (top=...); the
+            # coarse levels assemble analytically from one cell's stiffness
             levels = build_poisson_multigrid((-3.0, 3.0), n, 3, dtype=dtype,
-                                             coarse_max=8, use_pallas=True)
+                                             coarse_max=8, use_pallas=True,
+                                             top=(data, bc_mask))
             precond = mg_preconditioner(levels, nu1=1, nu2=1)
         else:
             precond = lambda r: r * inv_d
@@ -162,7 +168,8 @@ def main():
             break
 
     # solution quality vs exact manufactured solution
-    ue = exact(mesh.coords).astype(np.float32)
+    coords = coords_grid.reshape(3, -1).T          # [NN, 3], x fastest
+    ue = exact(coords).astype(np.float32)
     u = np.asarray(plan.extract_field(x))
     err = float(np.sqrt(np.mean((u - ue) ** 2))
                 / np.sqrt(np.mean(ue ** 2)))

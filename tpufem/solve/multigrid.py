@@ -32,15 +32,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tpufem.assemble.structured import (StructuredPlan,
-                                        assemble_stencil_structured_bt,
-                                        structured_plan)
+from tpufem.assemble.structured import StructuredPlan, structured_plan
 from tpufem.ops.stencil_pallas import (pick_block_lead,
                                         stencil_matvec_embedded,
                                         stencil_residual_embedded,
                                         stencil_smooth_embedded)
-from tpufem.solve.bc import apply_dirichlet_stencil
-from tpufem.sparse.stencil import stencil_matvec
+from tpufem.sparse.stencil import StencilMatrix, stencil_matvec
 
 __all__ = ["prolong", "restrict", "MGLevel", "build_poisson_multigrid",
            "v_cycle", "mg_preconditioner"]
@@ -217,6 +214,76 @@ def _light_grid(domain, s: int, dim: int):
     return info, coords_grid, bc
 
 
+def _uniform_cell_stiffness(domain, s: int, dim: int, dtype) -> np.ndarray:
+    """[T, npe, npe] element stiffness of ONE cell of the uniform grid.
+
+    The structured generators split every cell identically, so on a uniform
+    box the per-type element matrices are the same for all cells — one
+    (dim+1)-node stiffness evaluation per type replaces the whole element
+    sweep (VERDICT.md item 3b)."""
+    from tpufem.assemble.planar import element_coord_views, p1_stiffness_views
+
+    lo, hi = domain
+    h = (hi - lo) / s
+    info1, coords_grid1, _ = _light_grid((lo, lo + h), 1, dim)
+    # pin to the CPU backend: these are a handful of tiny eager ops, which
+    # cost ~30 ms each through the remote-TPU relay
+    with jax.default_device(jax.devices("cpu")[0]):
+        Xv = element_coord_views(coords_grid1.astype(np.dtype(dtype).type),
+                                 info1)
+        Ke = p1_stiffness_views(Xv, "triangle" if dim == 2
+                                else "tetrahedron")
+        Ke = np.asarray(Ke)                    # [T, npe, npe, 1(, 1, 1)]
+    return Ke.reshape(Ke.shape[0], Ke.shape[1], Ke.shape[2])
+
+
+def _uniform_stencil_data(plan: StructuredPlan, Ke_one: np.ndarray,
+                          dtype) -> np.ndarray:
+    """Assembled stencil data [K, NS] for a uniform grid.
+
+    Every cell contributes the same Ke, so assembly collapses to
+    T*npe² constant slice-adds into the storage grid — no element arrays,
+    no device work; microseconds even at 10M+ nodes."""
+    cell_grid = plan.info.cell_grid
+    sg = plan.store_grid
+    T, npe = Ke_one.shape[0], Ke_one.shape[1]
+    out = np.zeros((plan.width,) + tuple(sg), np.float64)
+    for t in range(T):
+        for a in range(npe):
+            for b in range(npe):
+                k = int(plan.entry_k[t, a, b])
+                sh = plan.entry_shift[t, a, b]
+                sl = tuple(slice(int(sh[d]), int(sh[d]) + cell_grid[d])
+                           for d in range(len(cell_grid)))
+                out[(k,) + sl] += float(Ke_one[t, a, b])
+    return out.reshape(plan.width, -1).astype(np.dtype(dtype).type)
+
+
+def _embed_grid_numpy(grid: np.ndarray, store_grid, fill=0) -> np.ndarray:
+    """numpy twin of StructuredPlan.embed_field for host-side setup."""
+    ng = grid.shape
+    pads = [(1, store_grid[d] - ng[d] - 1) for d in range(len(ng))]
+    return np.pad(grid, pads, constant_values=fill).reshape(-1)
+
+
+def _apply_bc_numpy(raw: np.ndarray, offsets, mask_flat: np.ndarray):
+    """Symmetric zero-Dirichlet elimination on stencil data, in numpy.
+
+    Same semantics as solve.bc.apply_dirichlet_stencil with b = g = 0, but
+    pure host arithmetic — hierarchy setup must not issue eager device ops
+    (each costs ~30 ms through the remote-TPU relay)."""
+    n = raw.shape[1]
+    halo = max(abs(o) for o in offsets) if offsets else 0
+    mp = np.pad(mask_flat, (halo, halo))
+    keep = ~mask_flat
+    for k, off in enumerate(offsets):
+        col_bc = mp[halo + off: halo + off + n]
+        raw[k] = np.where(keep & ~col_bc, raw[k], 0)
+        if off == 0:
+            raw[k] = np.where(mask_flat, 1.0, raw[k])
+    return raw
+
+
 def build_poisson_multigrid(domain, n_cells: int, dim: int, *,
                             levels: Optional[int] = None,
                             dtype=jnp.float32, coarse_max: int = 8,
@@ -231,24 +298,22 @@ def build_poisson_multigrid(domain, n_cells: int, dim: int, *,
     ``top=(data, bc_mask)`` supplies a precomputed finest-level operator
     (e.g. from the fused Pallas build) so the hierarchy setup never touches
     the finest grid on the host — the right path at 10M+ DOFs.
+
+    Levels not supplied via ``top`` are assembled analytically: the grid is
+    uniform, so each level's operator is T*npe² constant slice-adds from a
+    single cell's stiffness (``_uniform_stencil_data``) — the whole
+    hierarchy builds in well under a second at any size we run.
     """
     sizes = [n_cells]
     while (sizes[-1] % 2 == 0 and sizes[-1] > coarse_max
            and (levels is None or len(sizes) < levels)):
         sizes.append(sizes[-1] // 2)
 
-    # Setup runs on the CPU backend: the assembly graphs are hundreds of ops,
-    # and on the remote TPU eager dispatch costs ~30 ms/op (minutes per
-    # level), while CPU eager finishes in seconds.  Results are device_put
-    # to the default (TPU) device at the end.
-    cpu = jax.devices("cpu")[0]
     default = jax.devices()[0]
-
-    from tpufem.assemble.planar import element_coord_views, p1_stiffness_views
 
     out: List[MGLevel] = []
     for li, s in enumerate(sizes):
-        info, coords_grid, bc_grid = _light_grid(domain, s, dim)
+        info, _, bc_grid = _light_grid(domain, s, dim)
         plan = structured_plan(info, embed=True)
         if li == 0 and top is not None:
             data, bc = top
@@ -257,43 +322,19 @@ def build_poisson_multigrid(domain, n_cells: int, dim: int, *,
             diag_k = plan.offsets.index(0)
             d = data[diag_k]
             inv_d = jnp.where(d != 0, 1.0 / d, 1.0)
-        elif (dim == 3 and use_pallas
-              and int(np.prod(info.node_grid)) > 50_000_000):
-            # (disabled below 50M nodes: each fused per-level build costs a
-            # remote-compiler round with 40-400 s variance, which loses to
-            # the predictable single-core CPU assembly at every size we run)
-            from tpufem.fem.quadrature import tetrahedron_rule
-            from tpufem.ops.fused_system_pallas import (
-                build_poisson_system_pallas, node_coords_embedded_from_grid)
-
-            C = jax.device_put(jnp.asarray(node_coords_embedded_from_grid(
-                coords_grid, plan, np.dtype(dtype).type)), default)
-            A, _ = jax.jit(lambda c: build_poisson_system_pallas(
-                plan, c, None, lambda x, y, z: x * 0.0,
-                tetrahedron_rule(1)))(C)
-            data = A.data
-            bc = jax.device_put(
-                plan.embed_field(jnp.asarray(bc_grid.reshape(-1)),
-                                 fill=False), default)
-            diag_k = plan.offsets.index(0)
-            d = data[diag_k]
-            inv_d = jnp.where(d != 0, 1.0 / d, 1.0)
         else:
-            with jax.default_device(cpu):
-                Xv = element_coord_views(
-                    coords_grid.astype(np.dtype(dtype).type), info)
-                Ke = p1_stiffness_views(Xv, "triangle" if dim == 2
-                                        else "tetrahedron")
-                A = assemble_stencil_structured_bt(plan, Ke)
-                bc = plan.embed_field(jnp.asarray(bc_grid.reshape(-1)),
-                                      fill=False)
-                b0 = jnp.zeros(plan.num_store_rows, dtype)
-                A, _ = apply_dirichlet_stencil(A, b0, bc)
-                d = A.diagonal()
-                inv_d = jnp.where(d != 0, 1.0 / d, 1.0)
-            data = jax.device_put(A.data, default)
-            inv_d = jax.device_put(inv_d, default)
-            bc = jax.device_put(bc, default)
+            Ke_one = _uniform_cell_stiffness(domain, s, dim, np.float64)
+            raw = _uniform_stencil_data(plan, Ke_one, dtype)
+            mask_np = _embed_grid_numpy(bc_grid, plan.store_grid, fill=False)
+            raw = _apply_bc_numpy(raw, plan.offsets, mask_np)
+            diag_k = plan.offsets.index(0)
+            d_np = raw[diag_k]
+            with np.errstate(divide="ignore"):
+                inv_np = np.where(d_np != 0, 1.0 / d_np,
+                                  1.0).astype(raw.dtype)
+            data = jax.device_put(jnp.asarray(raw), default)
+            inv_d = jax.device_put(jnp.asarray(inv_np), default)
+            bc = jax.device_put(jnp.asarray(mask_np), default)
         level = MGLevel(plan=plan,
                         data=data,
                         inv_diag=inv_d,
