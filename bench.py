@@ -34,6 +34,12 @@ import sys
 import numpy as np
 
 import jax
+
+# fp64 is needed for the time-to-1e-8 refinement metric (all fp32 paths keep
+# explicit dtypes, so enabling x64 changes nothing else — the test suite
+# always runs with x64 on)
+jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -43,38 +49,17 @@ from tpufem.fem.quadrature import tetrahedron_rule
 from tpufem.ops.fused_system_pallas import (build_poisson_system_pallas,
                                             node_coords_embedded_from_grid)
 from tpufem.ops.stencil_pallas import pick_block_lead, stencil_matvec_embedded
-from tpufem.solve.multigrid import (_light_grid, build_poisson_multigrid,
+from tpufem.solve.cg import cg, cg_fixed
+from tpufem.solve.multigrid import (_apply_bc_numpy, _embed_grid_numpy,
+                                    _light_grid, _uniform_cell_stiffness,
+                                    _uniform_stencil_data,
+                                    build_poisson_multigrid,
                                     mg_preconditioner)
 from tpufem.solve.poisson import model_problem_3d, model_problem_3d_planes
+from tpufem.solve.refine import refined_stencil_solve
 from tpufem.utils.timing import PhaseTimer, device_seconds_per_rep
 
 BASELINE_DOFS_PER_SEC = 1.2e8   # estimated A100 CUDA pipeline (see docstring)
-
-
-def pcg_fixed_iters(data, plan, block_lead, b, precond, iters):
-    """Fixed-iteration PCG (fori_loop) for timing; returns (x, rr)."""
-
-    def matvec(v):
-        return stencil_matvec_embedded(data, v, plan, block_lead=block_lead)
-
-    x0 = jnp.zeros_like(b)
-    r0 = b
-    z0 = precond(r0)
-    rz0 = jnp.vdot(r0, z0)
-
-    def body(i, state):
-        x, r, z, p, rz = state
-        Ap = matvec(p)
-        alpha = rz / jnp.vdot(p, Ap)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = precond(r)
-        rz_new = jnp.vdot(r, z)
-        p = z + (rz_new / rz) * p
-        return (x, r, z, p, rz_new)
-
-    x, r, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, z0, rz0))
-    return x, jnp.vdot(r, r)
 
 
 def main():
@@ -82,6 +67,9 @@ def main():
     # so the multigrid hierarchy bottoms out on a tiny dense-inverse level
     n = int(os.environ.get("TPUFEM_BENCH_N", "96"))
     solver = os.environ.get("TPUFEM_BENCH_SOLVER", "mg")   # mg | jacobi
+    # interpret=1: run the Pallas kernels in interpret mode (CPU smoke tests
+    # of the bench plumbing; timings are meaningless)
+    interp = os.environ.get("TPUFEM_BENCH_INTERPRET", "0") == "1"
     dtype = jnp.float32
     timer = PhaseTimer()
 
@@ -111,7 +99,7 @@ def main():
     @jax.jit
     def build_system(C):
         A, b = build_poisson_system_pallas(plan, C, bc_mask, f_planes,
-                                           rule)
+                                           rule, interpret=interp)
         d = A.data[diag_k]
         inv_d = jnp.where(d != 0, 1.0 / d, 1.0)
         return A.data, b, inv_d
@@ -127,7 +115,8 @@ def main():
             levels = build_poisson_multigrid((-3.0, 3.0), n, 3, dtype=dtype,
                                              coarse_max=8, use_pallas=True,
                                              top=(data, bc_mask))
-            precond = mg_preconditioner(levels, nu1=1, nu2=1)
+            precond = mg_preconditioner(levels, nu1=1, nu2=1,
+                                        use_pallas=not interp)
         else:
             precond = lambda r: r * inv_d
 
@@ -147,8 +136,12 @@ def main():
     # ---- one jitted PCG used for both timing and convergence ----
     @jax.jit
     def pcg_run(data, b, iters):
-        x, rr = pcg_fixed_iters(data, plan, block_lead, b, precond, iters)
-        return x, jnp.sqrt(rr) / jnp.linalg.norm(b)
+        def mv(v):
+            return stencil_matvec_embedded(data, v, plan,
+                                           block_lead=block_lead,
+                                           interpret=interp)
+        x, r = cg_fixed(mv, b, iters, M=precond)
+        return x, jnp.linalg.norm(r) / jnp.linalg.norm(b)
 
     reps_hi = 60 if solver == "mg" else 210
     t_iter = device_seconds_per_rep(
@@ -166,6 +159,63 @@ def main():
         relres = float(rr)
         if relres < 1e-5:
             break
+
+    # ---- guarded product-API cg() to the same tolerance (VERDICT item 10:
+    # the convergence-checked while_loop the user actually calls) ----
+    @jax.jit
+    def cg_guarded_run(data, b, eps):
+        def mv(v):
+            return stencil_matvec_embedded(data, v, plan,
+                                           block_lead=block_lead,
+                                           interpret=interp)
+        res = cg(mv, b + eps, tol=1e-5, maxiter=iters + 4, M=precond)
+        return res.x, res.residual_norm, res.iterations
+
+    @jax.jit
+    def guarded_reps(data, b, reps):
+        def body(i, carry):
+            x, _, _ = cg_guarded_run(data, b, carry[0] * 1e-30)
+            return x
+        return jax.lax.fori_loop(0, reps, body, jnp.zeros_like(b))
+
+    t_guard = device_seconds_per_rep(
+        lambda r: guarded_reps(data, b, jnp.int32(r)), reps_low=1,
+        reps_high=6)
+    _, relres_g, iters_g = cg_guarded_run(data, b, jnp.zeros((), dtype))
+    iters_g, relres_g = int(iters_g), float(relres_g)
+
+    # ---- time-to-1e-8: mixed-precision refinement (VERDICT item 5) ----
+    # fp64 residual operator: analytic assembly is exact on the uniform box
+    raw64 = _uniform_stencil_data(plan, _uniform_cell_stiffness(
+        (-3.0, 3.0), n, 3, np.float64), np.float64)
+    mask_np = _embed_grid_numpy(bc_grid, plan.store_grid, fill=False)
+    raw64 = _apply_bc_numpy(raw64, offsets, mask_np)
+    data64 = jax.device_put(jnp.asarray(raw64))
+    del raw64
+
+    @jax.jit
+    def refined_run(data, data64, b):
+        return refined_stencil_solve(
+            data, data64, offsets, b.astype(jnp.float64), precond,
+            tol=1e-8, inner_iters=12, max_outer=6,
+            matvec32=lambda v: stencil_matvec_embedded(
+                data, v, plan, block_lead=block_lead, interpret=interp))
+
+    @jax.jit
+    def refined_reps(data, data64, b, reps):
+        def body(i, carry):
+            res = refined_run(data, data64, b + carry[0].astype(dtype)
+                              * 1e-30)
+            return res.x
+        return jax.lax.fori_loop(
+            0, reps, body, jnp.zeros_like(b, jnp.float64))
+
+    t_refined = device_seconds_per_rep(
+        lambda r: refined_reps(data, data64, b, jnp.int32(r)), reps_low=1,
+        reps_high=5)
+    res8 = refined_run(data, data64, b)
+    relres8 = float(res8.residual_norm)
+    outers8 = int(res8.outer_iterations)
 
     # solution quality vs exact manufactured solution
     coords = coords_grid.reshape(3, -1).T          # [NN, 3], x fastest
@@ -200,6 +250,13 @@ def main():
         "pcg_relres": relres,
         "solve_ms": round(iters * t_iter * 1e3, 2),
         "total_ms": round(t_total * 1e3, 2),
+        "solve_guarded_ms": round(t_guard * 1e3, 2),
+        "guarded_iters": iters_g,
+        "guarded_relres": relres_g,
+        "time_to_1e-8_ms": round(t_refined * 1e3, 2),
+        "refined_relres": relres8,
+        "refined_outer_iters": outers8,
+        "refined_inner_iters_total": outers8 * 12,
         "rel_l2_error_vs_exact": err,
         "phases_s": {k: round(v, 3) for k, v in timer.report().items()},
         "device": str(jax.devices()[0]),

@@ -36,6 +36,17 @@ from tpufem.sparse.stencil import StencilMatrix
 __all__ = ["element_coords_bt_embedded", "assemble_stencil_pallas"]
 
 
+def _trace_ctx(dtype):
+    """x64 disabled while tracing <=32-bit kernels: i64 grid indices send
+    Mosaic's convert lowering into infinite recursion.  64-bit kernels (CPU
+    interpret-mode verification paths) keep x64 on."""
+    import contextlib
+    import numpy as _np
+    if _np.dtype(dtype).itemsize <= 4:
+        return jax.enable_x64(False)
+    return contextlib.nullcontext()
+
+
 def element_coords_bt_embedded(mesh: Mesh, plan: StructuredPlan,
                                block_lead: int, dtype=np.float32):
     """[T, npe, dim, CZ, E1, E2] coords in the embedded minor layout.
@@ -126,9 +137,9 @@ def _type_kernel(xm_ref, x0_ref, acc_ref, out_ref, *, entry_k, entry_shift,
             contrib = jax.lax.slice_in_dim(ke, 2 - sz, 2 - sz + block_lead,
                                            axis=0)
             if sy - 1:
-                contrib = pltpu.roll(contrib, sy - 1, 1)
+                contrib = pltpu.roll(contrib, jnp.int32(sy - 1), 1)
             if sx - 1:
-                contrib = pltpu.roll(contrib, sx - 1, 2)
+                contrib = pltpu.roll(contrib, jnp.int32(sx - 1), 2)
             updates[k] = updates.get(k, 0) + contrib
     # k indices are trace constants: plain ref writes, no scatter.  Every k
     # plane must be written (the out VMEM buffer is not pre-filled).
@@ -172,24 +183,25 @@ def assemble_stencil_pallas(plan: StructuredPlan, X_emb, *,
         kern = functools.partial(_type_kernel, entry_k=entry_k,
                                  entry_shift=entry_shift,
                                  block_lead=block_lead, cell_grid=cell_grid)
-        data = pl.pallas_call(
-            kern,
-            grid=(nblk,),
-            in_specs=[
-                pl.BlockSpec(xblock,
-                             lambda zi, tt=t: (tt, 0, 0,
-                                               jnp.maximum(zi - 1, 0), 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(xblock,
-                             lambda zi, tt=t: (tt, 0, 0, zi, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(oblock, lambda zi: (0, zi, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(oblock, lambda zi: (0, zi, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((K,) + tuple(sg), X_emb.dtype),
-            input_output_aliases={2: 0},
-            interpret=interpret,
-        )(X_emb, X_emb, data)
+        with _trace_ctx(X_emb.dtype):
+            data = pl.pallas_call(
+                kern,
+                grid=(nblk,),
+                in_specs=[
+                    pl.BlockSpec(xblock,
+                                 lambda zi, tt=t: (tt, 0, 0,
+                                                   jnp.maximum(zi - 1, 0), 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(xblock,
+                                 lambda zi, tt=t: (tt, 0, 0, zi, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(oblock, lambda zi: (0, zi, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(oblock, lambda zi: (0, zi, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((K,) + tuple(sg), X_emb.dtype),
+                input_output_aliases={2: 0},
+                interpret=interpret,
+            )(X_emb, X_emb, data)
     return StencilMatrix(data.reshape(K, int(np.prod(sg))), plan.offsets)

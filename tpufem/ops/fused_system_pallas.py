@@ -46,6 +46,17 @@ __all__ = ["node_coords_embedded", "node_coords_embedded_from_grid",
            "build_poisson_system_pallas"]
 
 
+def _trace_ctx(dtype):
+    """x64 disabled while tracing <=32-bit kernels: i64 grid indices send
+    Mosaic's convert lowering into infinite recursion.  64-bit kernels (CPU
+    interpret-mode verification paths) keep x64 on."""
+    import contextlib
+    import numpy as _np
+    if _np.dtype(dtype).itemsize <= 4:
+        return jax.enable_x64(False)
+    return contextlib.nullcontext()
+
+
 def node_coords_embedded(mesh: Mesh, plan: StructuredPlan,
                          dtype=np.float32) -> np.ndarray:
     """[dim, E0, E1, E2] node coordinates in the embedded layout."""
@@ -103,14 +114,16 @@ def _det_inv_3x3(J, valid):
 def _roll_x(x, dx):
     """out[..., pos] = x[..., pos - dx] (dx >= 0 roll right on lanes)."""
     if dx:
-        return pltpu.roll(x, dx, x.ndim - 1)
+        # int32 shift: Mosaic's dynamic_rotate rejects i64 (which a bare
+        # Python int becomes when jax_enable_x64 is on)
+        return pltpu.roll(x, jnp.int32(dx), x.ndim - 1)
     return x
 
 
 def _shift_x(x, dx):
     """out[..., pos] = x[..., pos + dx] — lane shift left by dx >= 0."""
     if dx:
-        return pltpu.roll(x, (-dx) % x.shape[-1], x.ndim - 1)
+        return pltpu.roll(x, jnp.int32((-dx) % x.shape[-1]), x.ndim - 1)
     return x
 
 
@@ -306,21 +319,24 @@ def build_poisson_system_pallas(plan: StructuredPlan, C_emb, bc_mask=None,
     in_specs = [pl.BlockSpec(cblock, cmap(di, dj), memory_space=pltpu.VMEM)
                 for di in (-1, 0, 1) for dj in (-1, 0, 1)]
 
-    data, rhs = pl.pallas_call(
-        kern,
-        grid=(nzb, nyb),
-        in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((K, Bz, By, sg[2]), lambda zi, yj: (0, zi, yj, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bz, By, sg[2]), lambda zi, yj: (zi, yj, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((K,) + tuple(sg), C_emb.dtype),
-            jax.ShapeDtypeStruct(tuple(sg), C_emb.dtype),
-        ),
-        interpret=interpret,
-    )(*([C_emb] * 9))
+    # x64 off while tracing: i64 grid indices break Mosaic (see
+    # stencil_pallas._stencil_call)
+    with _trace_ctx(C_emb.dtype):
+        data, rhs = pl.pallas_call(
+            kern,
+            grid=(nzb, nyb),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((K, Bz, By, sg[2]), lambda zi, yj: (0, zi, yj, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Bz, By, sg[2]), lambda zi, yj: (zi, yj, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((K,) + tuple(sg), C_emb.dtype),
+                jax.ShapeDtypeStruct(tuple(sg), C_emb.dtype),
+            ),
+            interpret=interpret,
+        )(*([C_emb] * 9))
     n = int(np.prod(sg))
     return StencilMatrix(data.reshape(K, n), plan.offsets), rhs.reshape(-1)

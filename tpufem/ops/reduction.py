@@ -32,6 +32,17 @@ __all__ = ["reduce_sum", "segment_reduce", "pallas_block_reduce",
            "reduction_check"]
 
 
+def _trace_ctx(dtype):
+    """x64 disabled while tracing <=32-bit kernels: i64 grid indices send
+    Mosaic's convert lowering into infinite recursion.  64-bit kernels (CPU
+    interpret-mode verification paths) keep x64 on."""
+    import contextlib
+    import numpy as _np
+    if _np.dtype(dtype).itemsize <= 4:
+        return jax.enable_x64(False)
+    return contextlib.nullcontext()
+
+
 def reduce_sum(x):
     return jnp.sum(x)
 
@@ -60,16 +71,17 @@ def pallas_block_reduce(x, block: int = 128 * 1024, interpret: bool = False):
     if pad:
         flat = jnp.pad(flat, (0, pad))
     x2 = flat.reshape(nblk, block)
-    partial = pl.pallas_call(
-        _block_sum_kernel,
-        grid=(nblk,),
-        in_specs=[pl.BlockSpec((1, block), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((nblk, 1), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nblk, 1), x.dtype),
-        interpret=interpret,
-    )(x2)
+    with _trace_ctx(x.dtype):
+        partial = pl.pallas_call(
+            _block_sum_kernel,
+            grid=(nblk,),
+            in_specs=[pl.BlockSpec((1, block), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((nblk, 1), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nblk, 1), x.dtype),
+            interpret=interpret,
+        )(x2)
     return jnp.sum(partial)
 
 

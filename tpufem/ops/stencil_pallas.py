@@ -44,6 +44,17 @@ __all__ = ["stencil_matvec_embedded", "stencil_residual_embedded",
            "stencil_smooth_embedded", "pick_block_lead"]
 
 
+def _trace_ctx(dtype):
+    """x64 disabled while tracing <=32-bit kernels: i64 grid indices send
+    Mosaic's convert lowering into infinite recursion.  64-bit kernels (CPU
+    interpret-mode verification paths) keep x64 on."""
+    import contextlib
+    import numpy as _np
+    if _np.dtype(dtype).itemsize <= 4:
+        return jax.enable_x64(False)
+    return contextlib.nullcontext()
+
+
 def _shifted(base, off_minor):
     """Shift a VMEM-loaded value by grid deltas on the minor axes via rolls.
 
@@ -54,7 +65,7 @@ def _shifted(base, off_minor):
     g = base.ndim
     for ax, d in enumerate(off_minor, start=g - len(off_minor)):
         if d:
-            out = pltpu.roll(out, (-d) % base.shape[ax], ax)
+            out = pltpu.roll(out, jnp.int32((-d) % base.shape[ax]), ax)
     return out
 
 
@@ -159,14 +170,18 @@ def _stencil_call(kern_fn, data, x, extras, plan, block_lead, interpret,
         pl.BlockSpec(xblock, xmap_next, memory_space=pltpu.VMEM),
     ] + [pl.BlockSpec(xblock, xmap_cur, memory_space=pltpu.VMEM)
          for _ in extras_g]
-    y = pl.pallas_call(
-        kern,
-        grid=(nblk,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(xblock, xmap_cur, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(sg, data.dtype),
-        interpret=interpret,
-    )(data_g, x_g, x_g, x_g, *extras_g)
+    # x64 must be off while tracing the kernel + index maps: i64 grid
+    # indices send Mosaic's convert lowering into infinite recursion
+    with _trace_ctx(data.dtype):
+        y = pl.pallas_call(
+            kern,
+            grid=(nblk,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(xblock, xmap_cur,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(sg, data.dtype),
+            interpret=interpret,
+        )(data_g, x_g, x_g, x_g, *extras_g)
     return y.reshape(-1)
 
 

@@ -17,7 +17,7 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["CGResult", "cg"]
+__all__ = ["CGResult", "cg", "cg_fixed"]
 
 
 class CGResult(NamedTuple):
@@ -78,3 +78,38 @@ def cg(matvec: Callable, b, x0=None, *, tol: float = 1e-8,
     converged = (rnorm <= tol) & (~bad)
     return CGResult(x=x, iterations=k, residual_norm=rnorm,
                     converged=converged, diverged=bad)
+
+
+def cg_fixed(matvec: Callable, b, iters, *, M: Optional[Callable] = None,
+             x0=None):
+    """Fixed-iteration PCG (lax.fori_loop): no convergence checks.
+
+    The guard-free variant of :func:`cg` — the right inner kernel when the
+    iteration count is known (timing loops, the inner solve of
+    :mod:`tpufem.solve.refine`'s mixed-precision refinement) because the
+    fori_loop body carries no reduction-dependent branch, letting XLA
+    pipeline iterations back-to-back.  Pass ``iters`` as ``jnp.int32`` so
+    changing the count never recompiles.
+
+    Returns ``(x, r)``: the iterate and its (unpreconditioned) residual.
+    """
+    if M is None:
+        M = lambda r: r
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r0 = b - matvec(x0)
+    z0 = M(r0)
+    rz0 = jnp.vdot(r0, z0)
+
+    def body(i, state):
+        x, r, z, p, rz = state
+        Ap = matvec(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return (x, r, z, p, rz_new)
+
+    x, r, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, z0, rz0))
+    return x, r

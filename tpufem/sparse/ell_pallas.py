@@ -1,0 +1,174 @@
+"""Pallas TPU ELL SpMV for banded unstructured meshes.
+
+The reference's ELL kernel (/root/reference/fea_test_sm_sym_sparse2.cu:273-282)
+does a per-entry linear search + atomicAdd.  The TPU kernel below is the
+gather side of that layout done natively: TPU has no general vector gather,
+but Mosaic *does* support lane-wise gather (``take_along_axis`` on the lane
+axis of a VREG-shaped block).  The kernel builds a general banded gather out
+of it:
+
+  * rows are tiled into blocks of R = 8k*128; x arrives as three overlapping
+    R-blocks (prev/cur/next BlockSpecs) forming a VMEM window of 3R values —
+    valid whenever the matrix bandwidth is <= R (true for our mesh
+    generators' row-major numbering; RCM-order general meshes first);
+  * at plan time each column index is rewritten as a *window-relative*
+    position rel = col - window_start in [0, 3R) — one int32 per entry, the
+    same index traffic as raw ELL cols;
+  * in-kernel, rel splits into (sublane s = rel // 128, lane l = rel % 128);
+    for each slot k the kernel loops over the s values that slot actually
+    uses anywhere (a static, plan-time table — for quasi-structured meshes
+    each slot needs only 2-3 of the 3R/128 window rows) and combines
+    lane-gather + sublane-select:
+
+        acc_k = sum_s  where(s_k == s, take_along_axis(window[s], l_k), 0)
+
+    y += data_k * acc_k.  Everything is VREG-shaped; no scatter, no search.
+
+Measured (v5e, 1M rows, K=8): see BENCH_NOTES.md — the point of this kernel
+is to replace the XLA gather matvec (sparse/ell.py), the least TPU-friendly
+op in the framework (VERDICT.md item 6).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["ELLBandPlan", "ell_band_plan", "ell_matvec_pallas"]
+
+
+def _trace_ctx(dtype):
+    """x64 off while tracing <=32-bit kernels (see ops.stencil_pallas)."""
+    import contextlib
+    if np.dtype(dtype).itemsize <= 4:
+        return jax.enable_x64(False)
+    return contextlib.nullcontext()
+
+
+class ELLBandPlan(NamedTuple):
+    """Static plan for the banded Pallas ELL SpMV."""
+    rel: np.ndarray          # [K, NP] int32 window-relative positions
+    data_t: np.ndarray       # [K, NP] values (transposed, padded)
+    n: int                   # original rows
+    np_rows: int             # padded rows (multiple of R)
+    block_rows: int          # R
+    s_lists: tuple           # per-k tuple of window sublane indices used
+    width: int
+
+
+def ell_band_plan(data, cols, *, block_rows: int = 1024) -> ELLBandPlan:
+    """Rewrite an ELL matrix (data [N, K], cols [N, K]) for the kernel.
+
+    Requires bandwidth <= block_rows: every cols[i, :] must lie within
+    [blockstart(i) - R, blockstart(i) + 2R).  Raises ValueError otherwise
+    (renumber the mesh, e.g. RCM, or raise block_rows).
+    """
+    R = int(block_rows)
+    if R % 128:
+        raise ValueError("block_rows must be a multiple of 128")
+    data = np.asarray(data)
+    cols = np.asarray(cols)
+    n, K = data.shape
+    nb = max(1, -(-n // R))
+    np_rows = nb * R
+    pad = np_rows - n
+    if pad:
+        data = np.pad(data, ((0, pad), (0, 0)))
+        # padding rows point at themselves (value 0)
+        self_cols = np.arange(n, np_rows, dtype=cols.dtype)[:, None]
+        cols = np.concatenate(
+            [cols, np.broadcast_to(self_cols, (pad, K)).copy()])
+
+    blk = np.arange(np_rows) // R
+    w0 = (blk - 1) * R                        # window start per row
+    rel = cols.astype(np.int64) - w0[:, None]
+    if rel.min() < 0 or rel.max() >= 3 * R:
+        bw = int(np.abs(cols - np.arange(np_rows)[:, None]).max())
+        raise ValueError(
+            f"matrix bandwidth {bw} exceeds block_rows {R}; renumber the "
+            "mesh (RCM) or increase block_rows")
+    rel_t = np.ascontiguousarray(rel.T.astype(np.int32))      # [K, NP]
+    data_t = np.ascontiguousarray(data.T)                      # [K, NP]
+
+    # static per-slot window-row usage (padding rows excluded: their rel is
+    # R + (i % R), which stays within rows the real entries already use or
+    # adds at most the central rows)
+    s_lists = []
+    for k in range(K):
+        used = np.unique(rel_t[k] // 128)
+        s_lists.append(tuple(int(s) for s in used))
+    return ELLBandPlan(rel=rel_t, data_t=data_t, n=n, np_rows=np_rows,
+                       block_rows=R, s_lists=tuple(s_lists), width=K)
+
+
+def _kernel(data_ref, rel_ref, xm_ref, x0_ref, xp_ref, o_ref, *, s_lists):
+    """One R-row block: data/rel [K, 1, sub, 128], x prev/cur/next
+    [1, sub, 128] each -> y [1, sub, 128]."""
+    win = jnp.concatenate([xm_ref[0], x0_ref[0], xp_ref[0]], axis=0)
+    K = data_ref.shape[0]
+    y = jnp.zeros_like(x0_ref[0])
+    for k in range(K):
+        rel = rel_ref[k, 0]
+        s_idx = rel // 128
+        lane = rel - s_idx * 128
+        acc = None
+        for s in s_lists[k]:
+            row = jnp.broadcast_to(win[s:s + 1, :], lane.shape)
+            g = jnp.take_along_axis(row, lane, axis=1)
+            hit = jnp.where(s_idx == s, g, 0.0)
+            acc = hit if acc is None else acc + hit
+        if acc is not None:
+            y = y + data_ref[k, 0] * acc
+    o_ref[0] = y
+
+
+def ell_matvec_pallas(plan: ELLBandPlan, data_dev, rel_dev, x, *,
+                      interpret: bool = False):
+    """y = A x with the banded Pallas kernel.
+
+    data_dev/rel_dev: device copies of plan.data_t / plan.rel ([K, NP]).
+    x: [N] (or [NP]); returns y [N].
+    """
+    R = plan.block_rows
+    sub = R // 128
+    nb = plan.np_rows // R
+    K = plan.width
+    xp = x
+    if x.shape[0] != plan.np_rows:
+        xp = jnp.pad(x, (0, plan.np_rows - x.shape[0]))
+    x3 = xp.reshape(nb, sub, 128)
+    d3 = data_dev.reshape(K, nb, sub, 128)
+    r3 = rel_dev.reshape(K, nb, sub, 128)
+
+    kern = functools.partial(_kernel, s_lists=plan.s_lists)
+    xspec_m = pl.BlockSpec((1, sub, 128),
+                           lambda j: (jnp.maximum(j - 1, 0), 0, 0),
+                           memory_space=pltpu.VMEM)
+    xspec_0 = pl.BlockSpec((1, sub, 128), lambda j: (j, 0, 0),
+                           memory_space=pltpu.VMEM)
+    xspec_p = pl.BlockSpec((1, sub, 128),
+                           lambda j: (jnp.minimum(j + 1, nb - 1), 0, 0),
+                           memory_space=pltpu.VMEM)
+    with _trace_ctx(x.dtype):
+        y = pl.pallas_call(
+            kern,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((K, 1, sub, 128), lambda j: (0, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, 1, sub, 128), lambda j: (0, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                xspec_m, xspec_0, xspec_p,
+            ],
+            out_specs=pl.BlockSpec((1, sub, 128), lambda j: (j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nb, sub, 128), x.dtype),
+            interpret=interpret,
+        )(d3, r3, x3, x3, x3)
+    return y.reshape(-1)[:plan.n]
