@@ -22,7 +22,96 @@ import dataclasses
 
 import numpy as np
 
-__all__ = ["node_adjacency", "ELLPattern", "ell_pattern", "greedy_element_coloring"]
+__all__ = ["node_adjacency", "ELLPattern", "ell_pattern",
+           "greedy_element_coloring", "reverse_cuthill_mckee"]
+
+
+def reverse_cuthill_mckee(cols: np.ndarray,
+                          row_lengths: np.ndarray | None = None) -> np.ndarray:
+    """Level-wise reverse Cuthill-McKee ordering from an ELL cols array.
+
+    Returns ``perm`` with new index i holding old node ``perm[i]``; applying
+    it clusters every row's neighbors near the diagonal, shrinking the
+    matrix bandwidth to ~one mesh line — the precondition for the banded
+    Pallas SpMV (tpufem.sparse.ell_pallas).
+
+    BFS runs a whole level per step with vectorized frontier expansion
+    (O(nnz) total), ordering each level by node degree — the standard
+    level-set variant of CM; bandwidth matches classic CM on mesh graphs.
+    Self-loop padding entries are ignored.  Handles disconnected components.
+    """
+    cols = np.asarray(cols)
+    n, K = cols.shape
+    rows = np.repeat(np.arange(n, dtype=np.int64), K)
+    c = cols.reshape(-1).astype(np.int64)
+    m = rows != c                        # drop self/padding entries
+    rows, c = rows[m], c[m]
+    order_r = np.argsort(rows, kind="stable")
+    rows, c = rows[order_r], c[order_r]
+    deg = np.bincount(rows, minlength=n)
+    row_start = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=row_start[1:])
+
+    def neighbors_of(frontier):
+        counts = deg[frontier]
+        total = int(counts.sum())
+        if total == 0:
+            return (np.empty(0, np.int64),) * 2
+        offs = np.zeros(frontier.size, dtype=np.int64)
+        np.cumsum(counts[:-1], out=offs[1:])
+        pos = np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
+        idx = np.repeat(row_start[frontier], counts) + pos
+        src = np.repeat(frontier, counts)          # edge sources
+        return src, c[idx]
+
+    def bfs_levels(start, visited):
+        """Run one component's BFS; returns list of ordered levels."""
+        frontier = np.array([start], dtype=np.int64)
+        visited[start] = True
+        levels = []
+        while frontier.size:
+            levels.append(frontier)
+            src, nbrs = neighbors_of(frontier)
+            fresh = ~visited[nbrs]
+            src, nbrs = src[fresh], nbrs[fresh]
+            if nbrs.size == 0:
+                break
+            # order the next level by (first parent's rank, degree) — the
+            # classic CM tie-break that keeps the ordering snake-like
+            pos = np.empty(n, dtype=np.int64)
+            pos[frontier] = np.arange(frontier.size)
+            rank = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(rank, nbrs, pos[src])
+            frontier = np.unique(nbrs)
+            order = np.lexsort((deg[frontier], rank[frontier]))
+            frontier = frontier[order]
+            visited[frontier] = True
+        return levels
+
+    visited = np.zeros(n, bool)
+    out = np.empty(n, dtype=np.int64)
+    filled = 0
+    big = np.iinfo(np.int64).max
+    deg_masked = deg.astype(np.int64).copy()
+    while filled < n:
+        # new component: pseudo-peripheral start (George-Liu iteration —
+        # min-degree node of the deepest BFS level, repeated while the
+        # eccentricity grows); shrinks level widths and hence bandwidth
+        deg_masked[visited] = big
+        start = int(np.argmin(deg_masked))
+        depth = -1
+        for _ in range(4):
+            levels = bfs_levels(start, visited.copy())
+            if len(levels) <= depth:
+                break
+            depth = len(levels)
+            last = levels[-1]
+            start = int(last[np.argmin(deg[last])])
+        levels = bfs_levels(start, visited)
+        for lvl in levels:
+            out[filled:filled + lvl.size] = lvl
+            filled += lvl.size
+    return out[::-1].copy()
 
 
 def _unique_pairs(conn: np.ndarray, num_nodes: int):

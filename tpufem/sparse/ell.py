@@ -87,3 +87,20 @@ class ELLMatrix:
 def ell_matvec(data, cols, x):
     """y[i] = sum_k data[i, k] * x[cols[i, k]] — gather + row reduction."""
     return (data * x[cols]).sum(axis=1)
+
+
+def reorder_ell(data, cols, perm):
+    """Symmetric permutation A' = P A P^T of an ELL matrix (host setup).
+
+    ``perm``: new index i holds old row perm[i] (e.g. from
+    mesh.adjacency.reverse_cuthill_mckee).  Solves of A' y' = (P b) relate by
+    y = y'[inv], x' = x[perm].  Returns (data', cols') numpy arrays.
+    """
+    import numpy as np
+
+    data = np.asarray(data)
+    cols = np.asarray(cols)
+    perm = np.asarray(perm)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    return data[perm], inv[cols[perm]].astype(cols.dtype)

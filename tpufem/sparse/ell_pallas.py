@@ -58,7 +58,8 @@ class ELLBandPlan(NamedTuple):
     n: int                   # original rows
     np_rows: int             # padded rows (multiple of R)
     block_rows: int          # R
-    s_lists: tuple           # per-k tuple of window sublane indices used
+    d_lists: tuple           # per-k tuple of window-row deltas used, where
+                             # delta = rel//128 - (R//128 + own sublane)
     width: int
 
 
@@ -96,32 +97,48 @@ def ell_band_plan(data, cols, *, block_rows: int = 1024) -> ELLBandPlan:
     rel_t = np.ascontiguousarray(rel.T.astype(np.int32))      # [K, NP]
     data_t = np.ascontiguousarray(data.T)                      # [K, NP]
 
-    # static per-slot window-row usage (padding rows excluded: their rel is
-    # R + (i % R), which stays within rows the real entries already use or
-    # adds at most the central rows)
-    s_lists = []
+    # Static per-slot DELTA usage.  A row at local position (sublane t,
+    # lane l) reads window row s = rel // 128; the kernel aligns a whole
+    # shifted window copy win[R/128 + d : ...] against the output block, so
+    # the loop runs only over d = s - (R/128 + t) values that occur — for a
+    # bandwidth-B matrix that is ~2*ceil(B/128)+1 values, independent of R.
+    sub = R // 128
+    own_sub = (np.arange(np_rows) % R) // 128                  # [NP]
+    d_lists = []
     for k in range(K):
-        used = np.unique(rel_t[k] // 128)
-        s_lists.append(tuple(int(s) for s in used))
+        d = rel_t[k] // 128 - (sub + own_sub)
+        if d.min() < -sub or d.max() > sub:
+            bw = int(np.abs(cols.astype(np.int64)
+                            - np.arange(np_rows)[:, None]).max())
+            raise ValueError(
+                f"matrix bandwidth {bw} exceeds block_rows {R}; renumber "
+                "the mesh (reverse_cuthill_mckee) or increase block_rows")
+        d_lists.append(tuple(int(v) for v in np.unique(d)))
     return ELLBandPlan(rel=rel_t, data_t=data_t, n=n, np_rows=np_rows,
-                       block_rows=R, s_lists=tuple(s_lists), width=K)
+                       block_rows=R, d_lists=tuple(d_lists), width=K)
 
 
-def _kernel(data_ref, rel_ref, xm_ref, x0_ref, xp_ref, o_ref, *, s_lists):
+def _kernel(data_ref, rel_ref, xm_ref, x0_ref, xp_ref, o_ref, *, d_lists):
     """One R-row block: data/rel [K, 1, sub, 128], x prev/cur/next
-    [1, sub, 128] each -> y [1, sub, 128]."""
+    [1, sub, 128] each -> y [1, sub, 128].
+
+    Delta alignment: shifted window copies win[sub+d : 2*sub+d] line each
+    output sublane t up with window row sub+t+d, so one lane-gather + one
+    select per delta covers the whole block."""
     win = jnp.concatenate([xm_ref[0], x0_ref[0], xp_ref[0]], axis=0)
     K = data_ref.shape[0]
+    sub = x0_ref.shape[1]
     y = jnp.zeros_like(x0_ref[0])
+    base = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0) + sub
     for k in range(K):
         rel = rel_ref[k, 0]
         s_idx = rel // 128
         lane = rel - s_idx * 128
         acc = None
-        for s in s_lists[k]:
-            row = jnp.broadcast_to(win[s:s + 1, :], lane.shape)
-            g = jnp.take_along_axis(row, lane, axis=1)
-            hit = jnp.where(s_idx == s, g, 0.0)
+        for d in d_lists[k]:
+            shifted = jax.lax.slice_in_dim(win, sub + d, 2 * sub + d, axis=0)
+            g = jnp.take_along_axis(shifted, lane, axis=1)
+            hit = jnp.where(s_idx == base + d, g, 0.0)
             acc = hit if acc is None else acc + hit
         if acc is not None:
             y = y + data_ref[k, 0] * acc
@@ -146,7 +163,7 @@ def ell_matvec_pallas(plan: ELLBandPlan, data_dev, rel_dev, x, *,
     d3 = data_dev.reshape(K, nb, sub, 128)
     r3 = rel_dev.reshape(K, nb, sub, 128)
 
-    kern = functools.partial(_kernel, s_lists=plan.s_lists)
+    kern = functools.partial(_kernel, d_lists=plan.d_lists)
     xspec_m = pl.BlockSpec((1, sub, 128),
                            lambda j: (jnp.maximum(j - 1, 0), 0, 0),
                            memory_space=pltpu.VMEM)
