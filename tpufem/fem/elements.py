@@ -17,7 +17,7 @@ import dataclasses
 import numpy as np
 
 __all__ = ["ReferenceElement", "P1Triangle", "P1Tetrahedron", "P2Triangle",
-           "element_for_cell"]
+           "P2Tetrahedron", "element_for_cell"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -100,11 +100,52 @@ class P2Triangle(ReferenceElement):
         return np.stack([dr, ds], axis=2)  # [Q, 6, 2]
 
 
+class P2Tetrahedron(ReferenceElement):
+    """Quadratic tetrahedron: 4 vertex DOFs + 6 edge-midpoint DOFs.
+
+    DOF order: vertices with barycentrics lam = (r, s, t, 1-r-s-t), then
+    midpoints of edges (0-1), (1-2), (2-0), (0-3), (1-3), (2-3) — matching
+    fem.space._EDGE_VERTICES["tetrahedron"].
+    """
+
+    _EDGES = ((0, 1), (1, 2), (2, 0), (0, 3), (1, 3), (2, 3))
+
+    def __init__(self):
+        super().__init__("P2", "tetrahedron", 3, 10, 2)
+
+    @staticmethod
+    def _lams(points):
+        r, s, t = points[:, 0], points[:, 1], points[:, 2]
+        return [r, s, t, 1.0 - r - s - t]
+
+    # gradients of the barycentrics w.r.t. (r, s, t)
+    _DLAM = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0],
+                      [-1.0, -1.0, -1.0]])
+
+    def shape_values(self, points):
+        lam = self._lams(points)
+        vals = [li * (2 * li - 1) for li in lam]
+        vals += [4 * lam[a] * lam[b] for a, b in self._EDGES]
+        return np.stack(vals, axis=1)
+
+    def shape_grads(self, points):
+        lam = self._lams(points)
+        q = points.shape[0]
+        grads = []
+        for i in range(4):
+            grads.append((4 * lam[i] - 1)[:, None] * self._DLAM[i])
+        for a, b in self._EDGES:
+            grads.append(4 * (lam[a][:, None] * self._DLAM[b]
+                              + lam[b][:, None] * self._DLAM[a]))
+        return np.stack(grads, axis=1)          # [Q, 10, 3]
+
+
 def element_for_cell(cell_type: str, degree: int = 1) -> ReferenceElement:
     table = {
         ("triangle", 1): P1Triangle,
         ("triangle", 2): P2Triangle,
         ("tetrahedron", 1): P1Tetrahedron,
+        ("tetrahedron", 2): P2Tetrahedron,
     }
     try:
         return table[(cell_type, degree)]()

@@ -126,7 +126,23 @@ def tetrahedron_rule(degree: int) -> QuadratureRule:
         w = np.array([-2 / 15, 3 / 40, 3 / 40, 3 / 40, 3 / 40],
                      dtype=np.float64)
         return QuadratureRule(pts, w, 3, "tetrahedron")
-    raise NotImplementedError(f"tetrahedron rule of degree {degree}")
+    # degree >= 4: Duffy-collapsed tensor Gauss-Legendre — exact by
+    # construction for any degree.  The map r=X, s=Y(1-X), t=Z(1-X)(1-Y)
+    # sends [0,1]^3 to the reference tet with Jacobian (1-X)^2 (1-Y); GL
+    # with n points is exact to 2n-1 >= degree+2 (the Jacobian's extra
+    # polynomial degree).  n^3 points — P2 assembly uses degree 4 -> 64.
+    n1 = (degree + 4) // 2
+    x, wx = np.polynomial.legendre.leggauss(n1)
+    x = 0.5 * (x + 1.0)
+    wx = 0.5 * wx
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    W = (wx[:, None, None] * wx[None, :, None] * wx[None, None, :])
+    r = X
+    s = Y * (1.0 - X)
+    t = Z * (1.0 - X) * (1.0 - Y)
+    w = (W * (1.0 - X) ** 2 * (1.0 - Y)).reshape(-1)
+    pts = np.stack([r.reshape(-1), s.reshape(-1), t.reshape(-1)], axis=1)
+    return QuadratureRule(pts, w, degree, "tetrahedron")
 
 
 def rule_for_cell(cell_type: str, degree: int) -> QuadratureRule:

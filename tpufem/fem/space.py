@@ -27,9 +27,39 @@ __all__ = ["FunctionSpace", "VectorFunctionSpace"]
 
 _EDGE_VERTICES = {
     # local edge -> local vertex pair; triangle edges ordered (1-2),(2-3),(3-1)
-    # to match the P2Triangle DOF convention in elements.py.
+    # to match the P2Triangle DOF convention in elements.py; tet edges match
+    # P2Tetrahedron._EDGES.
     "triangle": np.array([[0, 1], [1, 2], [2, 0]], dtype=np.int64),
+    "tetrahedron": np.array([[0, 1], [1, 2], [2, 0], [0, 3], [1, 3], [2, 3]],
+                            dtype=np.int64),
 }
+
+# local facet -> local vertex triple (tet facet opposite each vertex)
+_TET_FACETS = np.array([[1, 2, 3], [0, 2, 3], [0, 1, 3], [0, 1, 2]],
+                       dtype=np.int64)
+
+
+def _boundary_edge_keys_3d(conn: np.ndarray, num_nodes: int) -> np.ndarray:
+    """Sorted flat keys (lo*NN+hi) of edges lying on boundary facets.
+
+    In 3D an edge's element count says nothing about the boundary (interior
+    edges of a tet mesh are shared by many cells, and an interior edge can
+    connect two boundary nodes); the correct test is membership in a
+    boundary FACET — a triangle appearing in exactly one tet.
+    """
+    tris = np.sort(conn[:, _TET_FACETS].astype(np.int64), axis=2)  # [NE,4,3]
+    fkeys = ((tris[..., 0] * num_nodes + tris[..., 1]) * num_nodes
+             + tris[..., 2]).ravel()
+    uk, counts = np.unique(fkeys, return_counts=True)
+    bk = uk[counts == 1]
+    v0 = bk // (num_nodes * num_nodes)
+    rem = bk % (num_nodes * num_nodes)
+    v1, v2 = rem // num_nodes, rem % num_nodes
+    pairs = np.concatenate([np.stack([v0, v1], 1), np.stack([v1, v2], 1),
+                            np.stack([v0, v2], 1)])
+    lo = pairs.min(1)
+    hi = pairs.max(1)
+    return np.unique(lo * num_nodes + hi)
 
 
 def _unique_edges(conn: np.ndarray, cell_type: str, num_nodes: int):
@@ -42,7 +72,11 @@ def _unique_edges(conn: np.ndarray, cell_type: str, num_nodes: int):
     unique_keys, inverse, counts = np.unique(
         keys.ravel(), return_inverse=True, return_counts=True)
     edge_ids = inverse.reshape(keys.shape)   # [NE, n_edges]
-    boundary_edge = counts == 1              # facet on exactly one element
+    if cell_type == "triangle":
+        boundary_edge = counts == 1          # 2D: edges ARE the facets
+    else:
+        bkeys = _boundary_edge_keys_3d(conn, num_nodes)
+        boundary_edge = np.isin(unique_keys, bkeys, assume_unique=True)
     edge_nodes = np.stack(
         [unique_keys // num_nodes, unique_keys % num_nodes], axis=1)
     return edge_ids, edge_nodes, boundary_edge
