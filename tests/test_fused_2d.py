@@ -1,0 +1,99 @@
+"""2D fused system build + general Dirichlet data (VERDICT item 9)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpufem.assemble.planar import (element_coord_views, element_load_views,
+                                    p1_stiffness_views)
+from tpufem.assemble.structured import (assemble_stencil_structured_bt,
+                                        assemble_vector_structured_bt,
+                                        structured_plan)
+from tpufem.fem.quadrature import triangle_rule
+from tpufem.ops.fused_system_pallas import (build_poisson_system_pallas,
+                                            node_coords_embedded_from_grid)
+from tpufem.solve.bc import apply_dirichlet_stencil
+from tpufem.solve.multigrid import _light_grid
+from tpufem.solve.poisson import model_problem_2d
+from tpufem.solve.structured_fast import solve_poisson_fast
+
+F2 = lambda x, y: 36.0 - 2.0 * (x * x + y * y)
+
+
+def _xla_system(n, dtype=np.float64, g_emb=None):
+    info, coords_grid, bc_grid = _light_grid((-3.0, 3.0), n, 2)
+    plan = structured_plan(info, embed=True)
+    bc = plan.embed_field(jnp.asarray(bc_grid.reshape(-1)), fill=False)
+    Xv = element_coord_views(coords_grid.astype(dtype), info)
+    A = assemble_stencil_structured_bt(plan,
+                                       p1_stiffness_views(Xv, "triangle"))
+    b = assemble_vector_structured_bt(
+        plan, element_load_views(Xv, "triangle", triangle_rule(2), F2))
+    A, b = apply_dirichlet_stencil(A, b, bc, g_emb)
+    return plan, coords_grid, bc, A, b
+
+
+def test_fused_2d_matches_xla_path():
+    n = 12
+    plan, coords_grid, bc, A_ref, b_ref = _xla_system(n)
+    C = jnp.asarray(node_coords_embedded_from_grid(coords_grid, plan,
+                                                   np.float64))
+    A, b = build_poisson_system_pallas(plan, C, bc, F2, triangle_rule(2),
+                                       interpret=True)
+    scale = float(jnp.abs(A_ref.data).max())
+    assert float(jnp.abs(A.data - A_ref.data).max()) / scale < 1e-12
+    bscale = max(float(jnp.abs(b_ref).max()), 1e-30)
+    assert float(jnp.abs(b - b_ref).max()) / bscale < 1e-12
+
+
+def test_fused_2d_raw_plus_bc_matches():
+    """apply_bc=False + vectorized elimination == in-kernel BC."""
+    n = 8
+    plan, coords_grid, bc, A_ref, b_ref = _xla_system(n)
+    C = jnp.asarray(node_coords_embedded_from_grid(coords_grid, plan,
+                                                   np.float64))
+    A0, b0 = build_poisson_system_pallas(plan, C, bc, F2, triangle_rule(2),
+                                         apply_bc=False, interpret=True)
+    A1, b1 = apply_dirichlet_stencil(A0, b0, bc)
+    assert float(jnp.abs(A1.data - A_ref.data).max()) < 1e-12
+    assert float(jnp.abs(b1 - b_ref).max()) < 1e-12
+
+
+def test_solve_poisson_fast_2d():
+    """2D flagship path through the fused kernel, vs exact solution."""
+    f, exact = model_problem_2d()
+    sol = solve_poisson_fast((-3.0, 3.0), 32, F2, dim=2, tol=1e-7,
+                             maxiter=60, dtype=jnp.float64, interpret=True)
+    assert bool(sol.cg.converged)
+    info, coords_grid, _ = _light_grid((-3.0, 3.0), 32, 2)
+    coords = coords_grid.reshape(2, -1).T
+    ue = exact(coords)
+    err = (np.sqrt(np.mean((np.asarray(sol.u) - ue) ** 2))
+           / np.sqrt(np.mean(ue ** 2)))
+    assert err < 2e-3, err
+
+
+def test_solve_poisson_fast_nonzero_g_2d():
+    """Linear manufactured solution with nonzero boundary data is exact."""
+    g = lambda x, y: 1.0 + 2.0 * x - 3.0 * y
+    sol = solve_poisson_fast((-3.0, 3.0), 16, lambda x, y: 0.0 * x, dim=2,
+                             tol=1e-11, maxiter=200, dtype=jnp.float64,
+                             g=g, interpret=True)
+    assert bool(sol.cg.converged)
+    info, coords_grid, _ = _light_grid((-3.0, 3.0), 16, 2)
+    ue = g(coords_grid[0], coords_grid[1]).reshape(-1)
+    err = np.abs(np.asarray(sol.u) - ue).max()
+    assert err < 1e-8, err
+
+
+def test_solve_poisson_fast_nonzero_g_3d():
+    """Same for the 3D fused path: raw build + general elimination."""
+    g = lambda x, y, z: 0.5 * x - y + 2.0 * z
+    sol = solve_poisson_fast((-3.0, 3.0), 8, lambda x, y, z: 0.0 * x,
+                             dim=3, tol=1e-11, maxiter=300,
+                             dtype=jnp.float64, g=g, interpret=True)
+    assert bool(sol.cg.converged)
+    info, coords_grid, _ = _light_grid((-3.0, 3.0), 8, 3)
+    ue = g(coords_grid[0], coords_grid[1], coords_grid[2]).reshape(-1)
+    err = np.abs(np.asarray(sol.u) - ue).max()
+    assert err < 1e-8, err

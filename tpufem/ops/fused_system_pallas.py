@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: single-pass Poisson system build (3D structured).
+"""Pallas TPU kernel: single-pass Poisson system build (structured 2D/3D).
 
 Reads *node coordinates only* — 3 planes instead of the 72 element-coord
 planes (element corners are recovered by in-VMEM shifts, since on a
@@ -76,17 +76,19 @@ def node_coords_embedded_from_grid(coords_grid, plan: StructuredPlan,
     masked to zero in the kernel).
     """
     info = plan.info
-    ng = info.node_grid                      # (nz1, ny1, nx1)
+    ng = info.node_grid                      # (nz1, ny1, nx1) or (ny1, nx1)
     sg = plan.store_grid
     dim = coords_grid.shape[0]
-    axes = [np.arange(sg[d], dtype=np.float64) - 1.0 for d in range(3)]
+    g = len(sg)
+    axes = [np.arange(sg[d], dtype=np.float64) - 1.0 for d in range(g)]
     out = np.zeros((dim,) + tuple(sg), dtype)
-    Z, Y, X = np.meshgrid(axes[0], axes[1], axes[2], indexing="ij")
-    idx_planes = [Z, Y, X]
+    idx_planes = np.meshgrid(*axes, indexing="ij")
     for d in range(dim):
-        # grid axis of coordinate d: x varies along axis 2, y along 1, z 0
-        out[d] = idx_planes[2 - d]
-    out[:, 1:1 + ng[0], 1:1 + ng[1], 1:1 + ng[2]] = coords_grid
+        # grid axis of coordinate d: x varies along the last axis, y along
+        # the one before, z first
+        out[d] = idx_planes[g - 1 - d]
+    valid = (slice(None),) + tuple(slice(1, 1 + ng[d]) for d in range(g))
+    out[valid] = coords_grid
     return out
 
 
@@ -129,7 +131,8 @@ def _shift_x(x, dx):
 
 def _kernel(c00, c01, c02, c10, c11, c12, c20, c21, c22,
             data_ref, rhs_ref, *, plan_tables, offsets_grid, Bz, By,
-            node_max, phi, wq, f_planes, dim, npe, num_types):
+            node_max, phi, wq, f_planes, dim, npe, num_types,
+            apply_bc=True):
     """(z-block zi, y-block yj): build output rows [zi*Bz, +Bz) x
     [yj*By, +By) x full x of the embedded system.
 
@@ -216,6 +219,8 @@ def _kernel(c00, c01, c02, c10, c11, c12, c20, c21, c22,
             la = (facc[a] * adet)[zsl, ysl]
             rhs_ref[...] = rhs_ref[...] + _roll_x(la, ox)
 
+    if not apply_bc:
+        return
     # zero-Dirichlet on the box boundary, masks from global node indices
     shape_o = (Bz, By, e2)
     nz_ = jax.lax.broadcasted_iota(jnp.int32, shape_o, 0) + zi * Bz - 1
@@ -241,6 +246,165 @@ def _kernel(c00, c01, c02, c10, c11, c12, c20, c21, c22,
     rhs_ref[...] = rhs_ref[...] * keep_row
 
 
+def _det_inv_2x2(J, valid):
+    det = J[0][0] * J[1][1] - J[0][1] * J[1][0]
+    inv_det = jnp.where(valid, 1.0, 0.0) / jnp.where(
+        valid, det, jnp.ones_like(det))
+    inv = [[J[1][1] * inv_det, -J[0][1] * inv_det],
+           [-J[1][0] * inv_det, J[0][0] * inv_det]]
+    return det, inv
+
+
+def _kernel_2d(cm, c0, cp, data_ref, rhs_ref, *, plan_tables, offsets_grid,
+               By, node_max, phi, wq, f_planes, npe, num_types, apply_bc):
+    """y-block yi: build output rows [yi*By, +By) x full x of the embedded
+    2D system.  cm/c0/cp: coordinate blocks [dim, By, E1] at y-blocks
+    yi-1/yi/yi+1 (clamped)."""
+    yi = pl.program_id(0)
+    dim = 2
+
+    # haloed slab [dim, By+2, E1]
+    slab = jnp.concatenate([cm[:, -1:], c0[...], cp[:, :1]], axis=1)
+    e1 = slab.shape[-1]
+    Byp1 = By + 1
+
+    corner = {}
+    for oy in (0, 1):
+        for ox in (0, 1):
+            planes = []
+            for d in range(dim):
+                base = slab[d, oy:oy + Byp1]
+                planes.append(_shift_x(base, ox))
+            corner[(oy, ox)] = planes
+
+    shape_c = (Byp1, e1)
+    gy = jax.lax.broadcasted_iota(jnp.int32, shape_c, 0) + yi * By - 2
+    gx = jax.lax.broadcasted_iota(jnp.int32, shape_c, 1) - 1
+    valid = ((gy >= 0) & (gy < node_max[0])
+             & (gx >= 0) & (gx < node_max[1]))
+
+    K = data_ref.shape[0]
+    out_dtype = slab.dtype
+    for k in range(K):
+        data_ref[k] = jnp.zeros((By, e1), out_dtype)
+    rhs_ref[...] = jnp.zeros((By, e1), out_dtype)
+
+    for t in range(num_types):
+        entry_k, node_off = plan_tables[t]
+        Xt = [corner[node_off[n_]] for n_ in range(npe)]
+        J = [[Xt[m][d] - Xt[npe - 1][d] for m in range(dim)]
+             for d in range(dim)]
+        det, inv = _det_inv_2x2(J, valid)
+        adet = jnp.where(valid, jnp.abs(det), 0.0)
+        area = adet * 0.5
+        G = [[inv[n_][d] for d in range(dim)] for n_ in range(dim)]
+        G.append([-sum(inv[n_][d] for n_ in range(dim))
+                  for d in range(dim)])
+
+        facc = [None] * npe
+        for q in range(len(wq)):
+            xq = [sum(phi[q][n_] * Xt[n_][d] for n_ in range(npe))
+                  for d in range(dim)]
+            fq = f_planes(*xq)
+            for a in range(npe):
+                w = wq[q] * phi[q][a]
+                facc[a] = fq * w if facc[a] is None else facc[a] + fq * w
+
+        for a in range(npe):
+            oy, ox = node_off[a]
+            ysl = slice(1 - oy, 1 - oy + By)
+            for b in range(npe):
+                k = entry_k[a][b]
+                ke = sum(G[a][d] * G[b][d] for d in range(dim)) * area
+                data_ref[k] = data_ref[k] + _roll_x(ke[ysl], ox)
+            la = (facc[a] * adet)[ysl]
+            rhs_ref[...] = rhs_ref[...] + _roll_x(la, ox)
+
+    if not apply_bc:
+        return
+    shape_o = (By, e1)
+    ny_ = jax.lax.broadcasted_iota(jnp.int32, shape_o, 0) + yi * By - 1
+    nx_ = jax.lax.broadcasted_iota(jnp.int32, shape_o, 1) - 1
+
+    def bc_of(y, x):
+        inside = ((y >= 0) & (y <= node_max[0])
+                  & (x >= 0) & (x <= node_max[1]))
+        on_bd = ((y == 0) | (y == node_max[0])
+                 | (x == 0) | (x == node_max[1]))
+        return (inside & on_bd).astype(out_dtype)
+
+    bc_row = bc_of(ny_, nx_)
+    keep_row = 1.0 - bc_row
+    for k in range(K):
+        dy, dx = offsets_grid[k]
+        bc_col = bc_of(ny_ + dy, nx_ + dx)
+        dk = data_ref[k] * keep_row * (1.0 - bc_col)
+        if dy == 0 and dx == 0:
+            dk = dk + bc_row
+        data_ref[k] = dk
+    rhs_ref[...] = rhs_ref[...] * keep_row
+
+
+def _build_2d(plan, C_emb, f_planes, rule, apply_bc, interpret):
+    info = plan.info
+    sg = plan.store_grid
+    K = plan.width
+    npe = 3
+    T = info.num_types
+    By = 8 if sg[0] % 8 == 0 else sg[0]
+    nyb = sg[0] // By
+
+    from tpufem.fem.elements import P1Triangle
+
+    el = P1Triangle()
+    phi = [[float(v) for v in row] for row in el.shape_values(rule.points)]
+    wq = [float(w) for w in rule.weights]
+    plan_tables = []
+    for t in range(T):
+        entry_k = [[int(plan.entry_k[t, a, b]) for b in range(npe)]
+                   for a in range(npe)]
+        node_off = [tuple(int(v) for v in info.type_node_offsets[t, a])
+                    for a in range(npe)]
+        plan_tables.append((entry_k, node_off))
+    node_max = (info.node_grid[0] - 1, info.node_grid[1] - 1)
+
+    kern = functools.partial(
+        _kernel_2d, plan_tables=plan_tables,
+        offsets_grid=tuple(tuple(int(v) for v in o)
+                           for o in plan.offsets_grid),
+        By=By, node_max=node_max, phi=phi, wq=wq, f_planes=f_planes,
+        npe=npe, num_types=T, apply_bc=apply_bc)
+
+    cblock = (2, By, sg[1])
+
+    def cmap(dj):
+        def m(yi):
+            return (0, jnp.clip(yi + dj, 0, nyb - 1), 0)
+        return m
+
+    in_specs = [pl.BlockSpec(cblock, cmap(dj), memory_space=pltpu.VMEM)
+                for dj in (-1, 0, 1)]
+    with _trace_ctx(C_emb.dtype):
+        data, rhs = pl.pallas_call(
+            kern,
+            grid=(nyb,),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((K, By, sg[1]), lambda yi: (0, yi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((By, sg[1]), lambda yi: (yi, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((K,) + tuple(sg), C_emb.dtype),
+                jax.ShapeDtypeStruct(tuple(sg), C_emb.dtype),
+            ),
+            interpret=interpret,
+        )(C_emb, C_emb, C_emb)
+    n = int(np.prod(sg))
+    return StencilMatrix(data.reshape(K, n), plan.offsets), rhs.reshape(-1)
+
+
 def _pick_blocks(sg, K):
     """(Bz, By): block sizes dividing the store dims.
 
@@ -257,18 +421,25 @@ def build_poisson_system_pallas(plan: StructuredPlan, C_emb, bc_mask=None,
                                 f_planes=None, rule: QuadratureRule = None, *,
                                 block_lead: int | None = None,
                                 block_minor: int | None = None,
+                                apply_bc: bool = True,
                                 interpret: bool = False):
-    """One-pass system build: (StencilMatrix, b) with box zero-Dirichlet BC.
+    """One-pass system build: (StencilMatrix, b), 2D or 3D structured.
 
     C_emb: node coords from ``node_coords_embedded``; ``bc_mask`` is accepted
     for API compatibility but unused — the kernel derives the box-boundary
-    mask from grid indices.  f_planes(x, y, z) -> plane.  3D structured only.
+    mask from grid indices.  f_planes(x, y[, z]) -> plane.
+
+    ``apply_bc=False`` returns the raw (uneliminated) system so callers can
+    impose general Dirichlet data via solve.bc.apply_dirichlet_stencil —
+    one extra vectorized pass over the stencil data.
     """
     if not plan.embedded:
         raise ValueError("plan must be built with structured_plan(embed=True)")
     info = plan.info
+    if len(info.node_grid) == 2:
+        return _build_2d(plan, C_emb, f_planes, rule, apply_bc, interpret)
     if len(info.node_grid) != 3:
-        raise NotImplementedError("fused system build is 3D-only")
+        raise NotImplementedError("fused system build is 2D/3D structured")
     sg = plan.store_grid
     K = plan.width
     dim = 3
@@ -305,7 +476,8 @@ def build_poisson_system_pallas(plan: StructuredPlan, C_emb, bc_mask=None,
         offsets_grid=tuple(tuple(int(v) for v in o)
                            for o in plan.offsets_grid),
         Bz=Bz, By=By, node_max=node_max,
-        phi=phi, wq=wq, f_planes=f_planes, dim=dim, npe=npe, num_types=T)
+        phi=phi, wq=wq, f_planes=f_planes, dim=dim, npe=npe, num_types=T,
+        apply_bc=apply_bc)
 
     cblock = (dim, Bz, By, sg[2])
 

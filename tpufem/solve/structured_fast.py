@@ -42,44 +42,66 @@ class FastSolution(NamedTuple):
 
 
 def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
+                       dim: int = 3,
                        tol: float = 1e-5, maxiter: int = 60,
                        dtype=jnp.float32, quadrature_degree: int = 3,
                        use_multigrid: bool = True,
                        levels: Optional[int] = None,
                        use_fused: bool = True,
+                       g: Optional[Callable] = None,
                        interpret: bool = False) -> FastSolution:
-    """Assemble + solve -Δu = f, u|∂Ω = 0 on (domain)³ with n_cells³ cells.
+    """Assemble + solve -Δu = f on (domain)^dim with n_cells^dim cells.
 
-    ``f_planes(x, y, z)`` takes coordinate planes and returns one plane (the
-    batch-trailing RHS form).  ``n_cells`` should halve down to <= 8 for the
-    full multigrid hierarchy (e.g. 32/48/64/96/128/192/224).
+    ``f_planes(x, y[, z])`` takes coordinate planes and returns one plane
+    (the batch-trailing RHS form).  ``n_cells`` should halve down to <= 8
+    for the full multigrid hierarchy (e.g. 32/48/64/96/128/192/224).
+
+    ``g``: Dirichlet boundary data as ``g(x, y[, z]) -> plane`` (nonzero
+    BC: the fused kernel emits the raw system and elimination happens in
+    one vectorized XLA pass); default None = zero BC inside the kernel.
     """
     phases = {}
 
     t0 = time.perf_counter()
     from tpufem.solve.multigrid import _light_grid
 
-    info, coords_grid, bc_grid = _light_grid(domain, n_cells, 3)
+    info, coords_grid, bc_grid = _light_grid(domain, n_cells, dim)
     plan = structured_plan(info, embed=True)
     bc_mask = plan.embed_field(jnp.asarray(bc_grid.reshape(-1)), fill=False)
     block_lead = pick_block_lead(plan.store_grid, plan.width)
     C = jax.device_put(jnp.asarray(node_coords_embedded_from_grid(
         coords_grid, plan, np.dtype(dtype).type)))
+    g_emb = None
+    if g is not None:
+        g_nodes = np.asarray(g(*[coords_grid[d] for d in range(dim)]),
+                             np.dtype(dtype).type)
+        g_emb = jax.device_put(plan.embed_field(
+            jnp.asarray(g_nodes.reshape(-1))))
     phases["host_setup"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    rule = tetrahedron_rule(quadrature_degree)
+    if dim == 3:
+        rule = tetrahedron_rule(quadrature_degree)
+    else:
+        from tpufem.fem.quadrature import triangle_rule
+        rule = triangle_rule(max(quadrature_degree, 2))
 
-    # The (z, y)-blocked fused kernel handles any grid size; the CPU views
-    # build below remains as an escape hatch (use_fused=False).
+    # The blocked fused kernel handles any grid size; the CPU views build
+    # below remains as an escape hatch (use_fused=False).
     if use_fused or interpret:
+        from tpufem.solve.bc import apply_dirichlet_stencil
+        from tpufem.sparse.stencil import StencilMatrix
+
         @jax.jit
-        def build(C):
+        def build(C, g_emb):
             A, b = build_poisson_system_pallas(
-                plan, C, bc_mask, f_planes, rule, interpret=interpret)
+                plan, C, bc_mask, f_planes, rule,
+                apply_bc=g_emb is None, interpret=interpret)
+            if g_emb is not None:
+                A, b = apply_dirichlet_stencil(A, b, bc_mask, g_emb)
             return A.data, b
 
-        data, b = build(C)
+        data, b = build(C, g_emb)
         b.block_until_ready()
     else:
         from tpufem.assemble.planar import (element_coord_views,
@@ -91,15 +113,17 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
 
         cpu = jax.devices("cpu")[0]
         default = jax.devices()[0]
+        cell = "tetrahedron" if dim == 3 else "triangle"
         with jax.default_device(cpu):
             Xv = element_coord_views(
                 coords_grid.astype(np.dtype(dtype).type), info)
             A = assemble_stencil_structured_bt(
-                plan, p1_stiffness_views(Xv, "tetrahedron"))
+                plan, p1_stiffness_views(Xv, cell))
             bcpu = assemble_vector_structured_bt(
-                plan, element_load_views(Xv, "tetrahedron", rule, f_planes))
+                plan, element_load_views(Xv, cell, rule, f_planes))
             A, bcpu = apply_dirichlet_stencil(
-                A, bcpu, jax.device_put(bc_mask, cpu))
+                A, bcpu, jax.device_put(bc_mask, cpu),
+                None if g_emb is None else jax.device_put(g_emb, cpu))
         data = jax.device_put(A.data, default)
         b = jax.device_put(bcpu, default)
     phases["assemble_wall"] = time.perf_counter() - t0
@@ -108,7 +132,7 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
     mg_levels = None
     if use_multigrid:
         mg_levels = build_poisson_multigrid(
-            domain, n_cells, 3, dtype=dtype, levels=levels,
+            domain, n_cells, dim, dtype=dtype, levels=levels,
             top=(data, bc_mask))
     phases["hierarchy"] = time.perf_counter() - t0
 
