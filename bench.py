@@ -84,7 +84,7 @@ def main():
     ns = plan.num_store_rows
     offsets = plan.offsets
     block_lead = pick_block_lead(plan.store_grid, plan.width)
-    rule = tetrahedron_rule(3)
+    rule = tetrahedron_rule(2)
     f_planes = model_problem_3d_planes()
     _, exact = model_problem_3d()
     bc_mask = plan.embed_field(jnp.asarray(bc_grid.reshape(-1)), fill=False)

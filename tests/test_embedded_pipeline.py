@@ -137,7 +137,9 @@ def test_fused_system_build_matches_xla():
 
     C = jnp.asarray(node_coords_embedded(mesh, plan, np.float64))
     A, b = build_poisson_system_pallas(plan, C, bc, fp, rule,
-                                       block_lead=2, interpret=True)
+                                       block_lead=2,
+                                       rhs_mode="quadrature",
+                                       interpret=True)
     np.testing.assert_allclose(np.asarray(A.data), np.asarray(A_ref.data),
                                rtol=1e-12, atol=1e-14)
     np.testing.assert_allclose(np.asarray(b), np.asarray(b_ref),
@@ -156,7 +158,7 @@ def test_solve_poisson_fast_cpu():
     ue = model_problem_3d()[1](mesh.coords)
     u = np.asarray(sol.u)
     rel = np.sqrt(np.mean((u - ue) ** 2)) / np.sqrt(np.mean(ue ** 2))
-    assert rel < 0.05
+    assert rel < 0.06    # O(h^2) at n=8 (interp RHS)
 
 
 def test_fused_smoother_and_residual_kernels():

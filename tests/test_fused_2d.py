@@ -39,7 +39,7 @@ def test_fused_2d_matches_xla_path():
     C = jnp.asarray(node_coords_embedded_from_grid(coords_grid, plan,
                                                    np.float64))
     A, b = build_poisson_system_pallas(plan, C, bc, F2, triangle_rule(2),
-                                       interpret=True)
+                                       rhs_mode="quadrature", interpret=True)
     scale = float(jnp.abs(A_ref.data).max())
     assert float(jnp.abs(A.data - A_ref.data).max()) / scale < 1e-12
     bscale = max(float(jnp.abs(b_ref).max()), 1e-30)
@@ -53,7 +53,9 @@ def test_fused_2d_raw_plus_bc_matches():
     C = jnp.asarray(node_coords_embedded_from_grid(coords_grid, plan,
                                                    np.float64))
     A0, b0 = build_poisson_system_pallas(plan, C, bc, F2, triangle_rule(2),
-                                         apply_bc=False, interpret=True)
+                                         apply_bc=False,
+                                         rhs_mode="quadrature",
+                                         interpret=True)
     A1, b1 = apply_dirichlet_stencil(A0, b0, bc)
     assert float(jnp.abs(A1.data - A_ref.data).max()) < 1e-12
     assert float(jnp.abs(b1 - b_ref).max()) < 1e-12
@@ -97,3 +99,39 @@ def test_solve_poisson_fast_nonzero_g_3d():
     ue = g(coords_grid[0], coords_grid[1], coords_grid[2]).reshape(-1)
     err = np.abs(np.asarray(sol.u) - ue).max()
     assert err < 1e-8, err
+
+
+def test_fused_interp_rhs_exact_for_linear_f():
+    """rhs_mode='interp' integrates P1-interpolated f exactly: for linear f
+    it matches the quadrature path to roundoff."""
+    n = 10
+    plan, coords_grid, bc, _, _ = _xla_system(n)
+    C = jnp.asarray(node_coords_embedded_from_grid(coords_grid, plan,
+                                                   np.float64))
+    flin = lambda x, y: 2.0 * x - y + 0.5
+    _, b_q = build_poisson_system_pallas(plan, C, bc, flin,
+                                         triangle_rule(2),
+                                         rhs_mode="quadrature",
+                                         interpret=True)
+    _, b_i = build_poisson_system_pallas(plan, C, bc, flin,
+                                         triangle_rule(2),
+                                         rhs_mode="interp", interpret=True)
+    assert float(jnp.abs(b_q - b_i).max()) < 1e-12
+
+
+def test_fused_interp_rhs_solution_accuracy():
+    """interp RHS keeps O(h^2) solution accuracy on the model problem."""
+    from tpufem.solve.poisson import model_problem_2d
+
+    _, exact = model_problem_2d()
+    errs = []
+    for n in (16, 32):
+        sol = solve_poisson_fast((-3.0, 3.0), n, F2, dim=2, tol=1e-9,
+                                 maxiter=80, dtype=jnp.float64,
+                                 interpret=True)
+        info, coords_grid, _ = _light_grid((-3.0, 3.0), n, 2)
+        ue = exact(coords_grid.reshape(2, -1).T)
+        errs.append(float(np.sqrt(np.mean((np.asarray(sol.u) - ue) ** 2))
+                          / np.sqrt(np.mean(ue ** 2))))
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > 1.8, (errs, rate)

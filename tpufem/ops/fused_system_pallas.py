@@ -132,7 +132,7 @@ def _shift_x(x, dx):
 def _kernel(c00, c01, c02, c10, c11, c12, c20, c21, c22,
             data_ref, rhs_ref, *, plan_tables, offsets_grid, Bz, By,
             node_max, phi, wq, f_planes, dim, npe, num_types,
-            apply_bc=True):
+            apply_bc=True, rhs_mode="interp"):
     """(z-block zi, y-block yj): build output rows [zi*Bz, +Bz) x
     [yj*By, +By) x full x of the embedded system.
 
@@ -184,6 +184,22 @@ def _kernel(c00, c01, c02, c10, c11, c12, c20, c21, c22,
         data_ref[k] = jnp.zeros((Bz, By, e2), out_dtype)
     rhs_ref[...] = jnp.zeros((Bz, By, e2), out_dtype)
 
+    corner_f = None
+    if rhs_mode == "interp":
+        # product approximation: f evaluated ONCE per node position on the
+        # haloed slab; the load is adet * Mref @ f(vertices), with Mref the
+        # constant reference mass matrix (exact for P1-interpolated f, the
+        # textbook O(h^2)-optimal load) — replaces num_types*Q f evals.
+        fslab = f_planes(*[slab[d] for d in range(dim)])
+        corner_f = {}
+        for oz in (0, 1):
+            for oy in (0, 1):
+                for ox in (0, 1):
+                    corner_f[(oz, oy, ox)] = _shift_x(
+                        fslab[oz:oz + Bzp1, oy:oy + Byp1], ox)
+        mref = [[(2.0 if a == b else 1.0) / 120.0 for b in range(npe)]
+                for a in range(npe)]
+
     for t in range(num_types):
         entry_k, node_off = plan_tables[t]
         Xt = [corner[node_off[n_]] for n_ in range(npe)]
@@ -197,13 +213,19 @@ def _kernel(c00, c01, c02, c10, c11, c12, c20, c21, c22,
                   for d in range(dim)])
 
         facc = [None] * npe
-        for q in range(len(wq)):
-            xq = [sum(phi[q][n_] * Xt[n_][d] for n_ in range(npe))
-                  for d in range(dim)]
-            fq = f_planes(*xq)
+        if rhs_mode == "interp":
+            fv = [corner_f[node_off[n_]] for n_ in range(npe)]
             for a in range(npe):
-                w = wq[q] * phi[q][a]
-                facc[a] = fq * w if facc[a] is None else facc[a] + fq * w
+                facc[a] = sum(mref[a][b] * fv[b] for b in range(npe))
+        else:
+            for q in range(len(wq)):
+                xq = [sum(phi[q][n_] * Xt[n_][d] for n_ in range(npe))
+                      for d in range(dim)]
+                fq = f_planes(*xq)
+                for a in range(npe):
+                    w = wq[q] * phi[q][a]
+                    facc[a] = (fq * w if facc[a] is None
+                               else facc[a] + fq * w)
 
         for a in range(npe):
             oz, oy, ox = node_off[a]
@@ -256,7 +278,8 @@ def _det_inv_2x2(J, valid):
 
 
 def _kernel_2d(cm, c0, cp, data_ref, rhs_ref, *, plan_tables, offsets_grid,
-               By, node_max, phi, wq, f_planes, npe, num_types, apply_bc):
+               By, node_max, phi, wq, f_planes, npe, num_types, apply_bc,
+               rhs_mode="interp"):
     """y-block yi: build output rows [yi*By, +By) x full x of the embedded
     2D system.  cm/c0/cp: coordinate blocks [dim, By, E1] at y-blocks
     yi-1/yi/yi+1 (clamped)."""
@@ -289,6 +312,16 @@ def _kernel_2d(cm, c0, cp, data_ref, rhs_ref, *, plan_tables, offsets_grid,
         data_ref[k] = jnp.zeros((By, e1), out_dtype)
     rhs_ref[...] = jnp.zeros((By, e1), out_dtype)
 
+    corner_f = None
+    if rhs_mode == "interp":
+        fslab = f_planes(*[slab[d] for d in range(dim)])
+        corner_f = {}
+        for oy in (0, 1):
+            for ox in (0, 1):
+                corner_f[(oy, ox)] = _shift_x(fslab[oy:oy + Byp1], ox)
+        mref = [[(2.0 if a == b else 1.0) / 24.0 for b in range(npe)]
+                for a in range(npe)]
+
     for t in range(num_types):
         entry_k, node_off = plan_tables[t]
         Xt = [corner[node_off[n_]] for n_ in range(npe)]
@@ -302,13 +335,19 @@ def _kernel_2d(cm, c0, cp, data_ref, rhs_ref, *, plan_tables, offsets_grid,
                   for d in range(dim)])
 
         facc = [None] * npe
-        for q in range(len(wq)):
-            xq = [sum(phi[q][n_] * Xt[n_][d] for n_ in range(npe))
-                  for d in range(dim)]
-            fq = f_planes(*xq)
+        if rhs_mode == "interp":
+            fv = [corner_f[node_off[n_]] for n_ in range(npe)]
             for a in range(npe):
-                w = wq[q] * phi[q][a]
-                facc[a] = fq * w if facc[a] is None else facc[a] + fq * w
+                facc[a] = sum(mref[a][b] * fv[b] for b in range(npe))
+        else:
+            for q in range(len(wq)):
+                xq = [sum(phi[q][n_] * Xt[n_][d] for n_ in range(npe))
+                      for d in range(dim)]
+                fq = f_planes(*xq)
+                for a in range(npe):
+                    w = wq[q] * phi[q][a]
+                    facc[a] = (fq * w if facc[a] is None
+                               else facc[a] + fq * w)
 
         for a in range(npe):
             oy, ox = node_off[a]
@@ -345,7 +384,7 @@ def _kernel_2d(cm, c0, cp, data_ref, rhs_ref, *, plan_tables, offsets_grid,
     rhs_ref[...] = rhs_ref[...] * keep_row
 
 
-def _build_2d(plan, C_emb, f_planes, rule, apply_bc, interpret):
+def _build_2d(plan, C_emb, f_planes, rule, apply_bc, rhs_mode, interpret):
     info = plan.info
     sg = plan.store_grid
     K = plan.width
@@ -373,7 +412,7 @@ def _build_2d(plan, C_emb, f_planes, rule, apply_bc, interpret):
         offsets_grid=tuple(tuple(int(v) for v in o)
                            for o in plan.offsets_grid),
         By=By, node_max=node_max, phi=phi, wq=wq, f_planes=f_planes,
-        npe=npe, num_types=T, apply_bc=apply_bc)
+        npe=npe, num_types=T, apply_bc=apply_bc, rhs_mode=rhs_mode)
 
     cblock = (2, By, sg[1])
 
@@ -422,6 +461,7 @@ def build_poisson_system_pallas(plan: StructuredPlan, C_emb, bc_mask=None,
                                 block_lead: int | None = None,
                                 block_minor: int | None = None,
                                 apply_bc: bool = True,
+                                rhs_mode: str = "quadrature",
                                 interpret: bool = False):
     """One-pass system build: (StencilMatrix, b), 2D or 3D structured.
 
@@ -432,12 +472,20 @@ def build_poisson_system_pallas(plan: StructuredPlan, C_emb, bc_mask=None,
     ``apply_bc=False`` returns the raw (uneliminated) system so callers can
     impose general Dirichlet data via solve.bc.apply_dirichlet_stencil —
     one extra vectorized pass over the stencil data.
+
+    ``rhs_mode``: "quadrature" (default) uses ``rule`` (parity with the
+    element_load XLA path; degree 2 suffices for P1 — measured identical
+    error to degree 3 at 10% less time); "interp" integrates the
+    P1-interpolated load exactly — one f evaluation per node, still O(h^2),
+    ~1.6x faster in the kernel but with a larger error constant
+    (1.8e-4 -> 3.6e-4 on the n=96 model problem).
     """
     if not plan.embedded:
         raise ValueError("plan must be built with structured_plan(embed=True)")
     info = plan.info
     if len(info.node_grid) == 2:
-        return _build_2d(plan, C_emb, f_planes, rule, apply_bc, interpret)
+        return _build_2d(plan, C_emb, f_planes, rule, apply_bc, rhs_mode,
+                         interpret)
     if len(info.node_grid) != 3:
         raise NotImplementedError("fused system build is 2D/3D structured")
     sg = plan.store_grid
@@ -477,7 +525,7 @@ def build_poisson_system_pallas(plan: StructuredPlan, C_emb, bc_mask=None,
                            for o in plan.offsets_grid),
         Bz=Bz, By=By, node_max=node_max,
         phi=phi, wq=wq, f_planes=f_planes, dim=dim, npe=npe, num_types=T,
-        apply_bc=apply_bc)
+        apply_bc=apply_bc, rhs_mode=rhs_mode)
 
     cblock = (dim, Bz, By, sg[2])
 

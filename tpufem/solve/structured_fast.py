@@ -44,11 +44,12 @@ class FastSolution(NamedTuple):
 def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
                        dim: int = 3,
                        tol: float = 1e-5, maxiter: int = 60,
-                       dtype=jnp.float32, quadrature_degree: int = 3,
+                       dtype=jnp.float32, quadrature_degree: int = 2,
                        use_multigrid: bool = True,
                        levels: Optional[int] = None,
                        use_fused: bool = True,
                        g: Optional[Callable] = None,
+                       rhs_mode: str = "quadrature",
                        interpret: bool = False) -> FastSolution:
     """Assemble + solve -Δu = f on (domain)^dim with n_cells^dim cells.
 
@@ -96,7 +97,8 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
         def build(C, g_emb):
             A, b = build_poisson_system_pallas(
                 plan, C, bc_mask, f_planes, rule,
-                apply_bc=g_emb is None, interpret=interpret)
+                apply_bc=g_emb is None, rhs_mode=rhs_mode,
+                interpret=interpret)
             if g_emb is not None:
                 A, b = apply_dirichlet_stencil(A, b, bc_mask, g_emb)
             return A.data, b
