@@ -10,6 +10,7 @@ error vs the manufactured solution.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -27,6 +28,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=69)
     ap.add_argument("--tol", type=float, default=1e-5)
+    ap.add_argument("--precond", choices=("jacobi", "mg"), default="jacobi",
+                    help="mg needs n to halve down to <= 8-ish (e.g. 72)")
     args = ap.parse_args()
 
     from tpufem.solve.cg import cg_fixed
@@ -42,7 +45,8 @@ def main():
     t0 = time.perf_counter()
     sol = solve_elasticity_box((-3.0, 3.0), args.n, lam=lam, mu=mu,
                                body_force=f, dtype=jnp.float32,
-                               tol=args.tol, maxiter=4000)
+                               tol=args.tol, maxiter=4000,
+                               precond=args.precond)
     wall = time.perf_counter() - t0
 
     info, coords_grid, _ = _light_grid((-3.0, 3.0), args.n, 3)
@@ -78,12 +82,26 @@ def main():
 
     offsets = plan.offsets
 
-    @jax.jit
-    def pcg_reps(data, Minv, b, iters):
-        x, r = cg_fixed(lambda v: block_stencil_matvec(data, v, offsets),
-                        b, iters,
-                        M=lambda r: (Minv * r[None]).sum(axis=1))
-        return x
+    if args.precond == "mg":
+        from tpufem.solve.elasticity_structured import (
+            build_elasticity_multigrid, elastic_mg_preconditioner)
+        levels = build_elasticity_multigrid((-3.0, 3.0), args.n, lam=lam,
+                                            mu=mu, dtype=jnp.float32)
+
+        @jax.jit
+        def pcg_reps(data, Minv, b, iters, levels=None):
+            M = elastic_mg_preconditioner(levels, nu1=1, nu2=1)
+            x, r = cg_fixed(lambda v: block_stencil_matvec(data, v, offsets),
+                            b, iters, M=M)
+            return x
+        pcg_reps = functools.partial(pcg_reps, levels=levels)
+    else:
+        @jax.jit
+        def pcg_reps(data, Minv, b, iters):
+            x, r = cg_fixed(lambda v: block_stencil_matvec(data, v, offsets),
+                            b, iters,
+                            M=lambda r: (Minv * r[None]).sum(axis=1))
+            return x
 
     t_iter = device_seconds_per_rep(
         lambda r: pcg_reps(data, Minv, b, jnp.int32(r)),
@@ -92,13 +110,14 @@ def main():
     ndofs = sol.num_dofs
     total_s = iters * t_iter
     out = {
-        "metric": "3d_elasticity_1M_bcsr_block_jacobi_pcg",
+        "metric": "3d_elasticity_1M_block_stencil_pcg",
         "num_dofs": ndofs,
         "pcg_iters": iters,
         "pcg_relres": float(sol.cg.residual_norm),
         "pcg_iter_ms": round(t_iter * 1e3, 4),
         "solve_ms": round(total_s * 1e3, 2),
         "dofs_per_sec": round(ndofs / total_s, 1),
+        "precond": args.precond,
         "rel_l2_error_vs_exact": err,
         "wall_s_incl_compile": round(wall, 1),
         "device": str(jax.devices()[0]),

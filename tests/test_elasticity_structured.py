@@ -76,6 +76,29 @@ def test_elasticity_box_convergence():
     assert rate > 1.7, (errs, rate)
 
 
+def test_elasticity_vector_multigrid():
+    """Vector MG-PCG: same solution as block-Jacobi, far fewer iterations,
+    roughly mesh-independent count."""
+    u_exact, f = manufactured_elasticity_3d(LAM, MU)
+    iters = {}
+    for n in (16, 32):
+        sol_j = solve_elasticity_box((-3.0, 3.0), n, lam=LAM, mu=MU,
+                                     body_force=f, dtype=jnp.float64,
+                                     tol=1e-8, maxiter=4000,
+                                     precond="jacobi")
+        sol_m = solve_elasticity_box((-3.0, 3.0), n, lam=LAM, mu=MU,
+                                     body_force=f, dtype=jnp.float64,
+                                     tol=1e-8, maxiter=200, precond="mg")
+        assert bool(sol_m.cg.converged)
+        du = (np.linalg.norm(sol_m.u - sol_j.u)
+              / np.linalg.norm(sol_j.u))
+        assert du < 1e-6, du
+        iters[n] = (int(sol_j.cg.iterations), int(sol_m.cg.iterations))
+        assert iters[n][1] < iters[n][0] / 3
+    # mesh-independence: iteration growth from n=16 to n=32 stays small
+    assert iters[32][1] <= iters[16][1] + 6, iters
+
+
 def test_elasticity_box_zero_force_is_zero():
     sol = solve_elasticity_box((-3.0, 3.0), 4, lam=LAM, mu=MU,
                                body_force=None, dtype=jnp.float64,

@@ -36,7 +36,8 @@ from tpufem.solve.multigrid import (_embed_grid_numpy, _light_grid,
 
 __all__ = ["ElasticityBoxSolution", "uniform_cell_matrices",
            "elasticity_stencil_data", "block_stencil_matvec",
-           "solve_elasticity_box", "manufactured_elasticity_3d"]
+           "solve_elasticity_box", "manufactured_elasticity_3d",
+           "build_elasticity_multigrid", "elastic_mg_preconditioner"]
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -134,6 +135,176 @@ def block_stencil_matvec(data, x, offsets):
     return y
 
 
+import dataclasses
+
+
+@dataclasses.dataclass
+class ElasticMGLevel:
+    """One vector-multigrid level (embedded layout, analytic assembly)."""
+    plan: StructuredPlan
+    data: jax.Array            # [K, 3, 3, NS]
+    inv_blocks: jax.Array      # [3, 3, NS] inverted diagonal blocks
+    bc_mask: jax.Array         # [NS]
+    coarse_inverse: jax.Array  # dense [3*NN, 3*NN] on the coarsest, else None
+
+
+# registered as a pytree so hierarchies pass through jit as ARGUMENTS —
+# closing over level arrays bakes them into the HLO as constants, which
+# blows the remote compiler's request size at ~1M DOFs (same lesson as
+# solve.multigrid.MGLevel)
+jax.tree_util.register_pytree_node(
+    ElasticMGLevel,
+    lambda l: ((l.data, l.inv_blocks, l.bc_mask, l.coarse_inverse),
+               (l.plan,)),
+    lambda aux, ch: ElasticMGLevel(plan=aux[0], data=ch[0],
+                                   inv_blocks=ch[1], bc_mask=ch[2],
+                                   coarse_inverse=ch[3]))
+
+
+def _level_setup(domain, s, lam, mu, dtype):
+    info, _, bc_grid = _light_grid(domain, s, 3)
+    plan = structured_plan(info, embed=True)
+    Ke1, _ = uniform_cell_matrices(domain, s, lam, mu)
+    data_np = elasticity_stencil_data(plan, Ke1, np.dtype(dtype).type)
+    mask_np = _embed_grid_numpy(bc_grid, plan.store_grid, fill=False)
+    data_np = _apply_bc_blocks(data_np, plan.offsets, mask_np)
+    diag_k = plan.offsets.index(0)
+    D = np.moveaxis(data_np[diag_k], -1, 0)
+    sing = np.abs(np.linalg.det(D)) < 1e-30
+    Dinv = np.linalg.inv(D + sing[:, None, None] * np.eye(3))
+    Dinv = np.moveaxis(Dinv, 0, -1).astype(np.dtype(dtype).type)
+    return plan, data_np, Dinv, mask_np
+
+
+def build_elasticity_multigrid(domain, n_cells: int, *, lam: float,
+                               mu: float, dtype=jnp.float32,
+                               coarse_max: int = 8):
+    """Analytic vector-MG hierarchy: per-level block-stencil operators,
+    inverted diagonal blocks, dense inverse on the coarsest level.
+
+    Transfers are the scalar P1 operators applied per displacement
+    component (P1 interpolation reproduces rigid translations and all
+    linear fields, so the elasticity near-kernel is preserved)."""
+    sizes = [n_cells]
+    while sizes[-1] % 2 == 0 and sizes[-1] > coarse_max:
+        sizes.append(sizes[-1] // 2)
+    levels = []
+    for li, s in enumerate(sizes):
+        plan, data_np, Dinv, mask_np = _level_setup(domain, s, lam, mu,
+                                                    dtype)
+        cinv = None
+        if li == len(sizes) - 1:
+            nn = int(np.prod(plan.info.node_grid))
+            if 3 * nn <= 6000:
+                cinv = _dense_block_inverse(plan, data_np)
+        levels.append(ElasticMGLevel(
+            plan=plan,
+            data=jax.device_put(jnp.asarray(data_np)),
+            inv_blocks=jax.device_put(jnp.asarray(Dinv)),
+            bc_mask=jax.device_put(jnp.asarray(mask_np)),
+            coarse_inverse=None if cinv is None
+            else jax.device_put(jnp.asarray(cinv, dtype))))
+    return levels
+
+
+def _dense_block_inverse(plan: StructuredPlan, data_np) -> np.ndarray:
+    """Dense inverse of the coarsest operator over VALID node DOFs,
+    embedded back as a [3*NS, 3*NS]-acting map via node indexing."""
+    from tpufem.solve.multigrid import _store_to_node_map
+
+    node_of = _store_to_node_map(plan)         # [NS] -> node or -1
+    ns = plan.num_store_rows
+    nn = int(np.prod(plan.info.node_grid))
+    n3 = 3 * nn
+    dense = np.zeros((n3, n3), np.float64)
+    idx = np.arange(ns)
+    for k, off in enumerate(plan.offsets):
+        cidx = idx + off
+        ok = (cidx >= 0) & (cidx < ns)
+        ri = node_of[idx]
+        ci = node_of[np.clip(cidx, 0, ns - 1)]
+        m = ok & (ri >= 0) & (ci >= 0)
+        for c in range(3):
+            for d in range(3):
+                vals = data_np[k, c, d][m]
+                nz = vals != 0
+                np.add.at(dense, (3 * ri[m][nz] + c, 3 * ci[m][nz] + d),
+                          vals[nz].astype(np.float64))
+    return np.linalg.inv(dense)
+
+
+def _grid3(plan, x_store):
+    """[3, NS] embedded -> [3, *node_grid]."""
+    ng = plan.info.node_grid
+    return jnp.stack([plan.extract_field(x_store[c]).reshape(ng)
+                      for c in range(3)])
+
+
+def _store3(plan, x_grid):
+    return jnp.stack([plan.embed_field(x_grid[c].reshape(-1))
+                      for c in range(3)])
+
+
+def elastic_v_cycle(levels, r, *, li: int = 0, nu1: int = 1, nu2: int = 1,
+                    omega: float = 0.7):
+    """One V-cycle for the block-stencil elasticity system. r: [3, NS]."""
+    from tpufem.solve.multigrid import prolong, restrict
+
+    lv = levels[li]
+    offsets = lv.plan.offsets
+
+    def matvec(x):
+        return block_stencil_matvec(lv.data, x, offsets)
+
+    def bsmooth(rr, e):
+        resid = rr - matvec(e)
+        return e + omega * (lv.inv_blocks * resid[None]).sum(axis=1)
+
+    if li == len(levels) - 1:
+        if lv.coarse_inverse is not None:
+            nn = int(np.prod(lv.plan.info.node_grid))
+            rg = _grid3(lv.plan, r).reshape(3, -1)     # [3, NN] node order
+            rflat = jnp.moveaxis(rg, 0, 1).reshape(-1)  # node-major
+            e = jnp.dot(lv.coarse_inverse.astype(r.dtype), rflat,
+                        preferred_element_type=r.dtype)
+            eg = jnp.moveaxis(e.reshape(nn, 3), 1, 0).reshape(
+                (3,) + tuple(lv.plan.info.node_grid))
+            return _store3(lv.plan, eg)
+        e = omega * (lv.inv_blocks * r[None]).sum(axis=1)
+        for _ in range(20):
+            e = bsmooth(r, e)
+        return e
+
+    e = omega * (lv.inv_blocks * r[None]).sum(axis=1)
+    for _ in range(nu1 - 1):
+        e = bsmooth(r, e)
+
+    resid = r - matvec(e)
+    rg = _grid3(lv.plan, resid)
+    rc_grid = jnp.stack([restrict(rg[c], 3) for c in range(3)])
+    nxt = levels[li + 1]
+    rc = _store3(nxt.plan, rc_grid)
+    rc = jnp.where(nxt.bc_mask[None], 0.0, rc)
+
+    ec = elastic_v_cycle(levels, rc, li=li + 1, nu1=nu1, nu2=nu2,
+                         omega=omega)
+
+    eg = _grid3(nxt.plan, ec)
+    ef = jnp.stack([prolong(eg[c], 3) for c in range(3)])
+    e = e + _store3(lv.plan, ef)
+
+    for _ in range(nu2):
+        e = bsmooth(r, e)
+    return e
+
+
+def elastic_mg_preconditioner(levels, *, nu1: int = 1, nu2: int = 1,
+                              omega: float = 0.7):
+    def apply(r):
+        return elastic_v_cycle(levels, r, nu1=nu1, nu2=nu2, omega=omega)
+    return apply
+
+
 def manufactured_elasticity_3d(lam: float, mu: float, amp=(1.0, 0.7, -0.5)):
     """u_c = amp_c * phi, phi = prod(9 - x_d^2): (u_exact(x), f(x)) callables.
 
@@ -177,14 +348,16 @@ def manufactured_elasticity_3d(lam: float, mu: float, amp=(1.0, 0.7, -0.5)):
 def solve_elasticity_box(domain, n_cells: int, *, lam: float = 1.0,
                          mu: float = 1.0, body_force: Callable = None,
                          dtype=jnp.float32, tol: float = 1e-6,
-                         maxiter: int = 2000,
+                         maxiter: int = 2000, precond: str = "jacobi",
                          matvec_impl: Optional[Callable] = None
                          ) -> ElasticityBoxSolution:
     """Clamped 3D elasticity on (domain)^3 with n_cells^3 cells.
 
     body_force: f(x, y, z) -> [3, ...] (numpy, evaluated on the node grid).
     Assembly + preconditioner setup are analytic (host, sub-second at any
-    size); the solve runs block-Jacobi PCG on the block-stencil SpMV.
+    size); the solve runs PCG on the block-stencil SpMV with
+    ``precond="jacobi"`` (3x3 block-Jacobi) or ``"mg"`` (vector geometric
+    multigrid, componentwise P1 transfers + block-Jacobi smoothing).
     """
     info, coords_grid, bc_grid = _light_grid(domain, n_cells, 3)
     plan = structured_plan(info, embed=True)
@@ -224,8 +397,13 @@ def solve_elasticity_box(domain, n_cells: int, *, lam: float = 1.0,
 
     mv = matvec_impl or (lambda d, x: block_stencil_matvec(d, x, offsets))
 
+    mg_levels = None
+    if precond == "mg":
+        mg_levels = build_elasticity_multigrid(domain, n_cells, lam=lam,
+                                               mu=mu, dtype=dtype)
+
     @jax.jit
-    def solve(data, mass, Minv, b_f, mask):
+    def solve(data, mass, Minv, b_f, mask, lv):
         from tpufem.sparse.stencil import stencil_matvec
         b = jnp.stack([stencil_matvec(mass, offsets, b_f[c])
                        for c in range(3)])
@@ -234,12 +412,14 @@ def solve_elasticity_box(domain, n_cells: int, *, lam: float = 1.0,
         def matvec(x):
             return mv(data, x)
 
-        def precond(r):
-            return (Minv * r[None, :, :]).sum(axis=1)
+        if lv is not None:
+            M = elastic_mg_preconditioner(lv, nu1=1, nu2=1)
+        else:
+            M = lambda r: (Minv * r[None, :, :]).sum(axis=1)
 
-        return cg(matvec, b, tol=tol, maxiter=maxiter, M=precond)
+        return cg(matvec, b, tol=tol, maxiter=maxiter, M=M)
 
-    res = solve(data, mass, Minv, b_f, mask)
+    res = solve(data, mass, Minv, b_f, mask, mg_levels)
     u = np.stack([np.asarray(plan.extract_field(res.x[c]))
                   for c in range(3)])
     return ElasticityBoxSolution(u=u, cg=res, num_dofs=3 * nn,
