@@ -132,7 +132,7 @@ def _shift_x(x, dx):
 def _kernel(c00, c01, c02, c10, c11, c12, c20, c21, c22,
             data_ref, rhs_ref, *, plan_tables, offsets_grid, Bz, By,
             node_max, phi, wq, f_planes, dim, npe, num_types,
-            apply_bc=True, rhs_mode="interp"):
+            apply_bc=True, rhs_mode="interp", zbase_ref=None):
     """(z-block zi, y-block yj): build output rows [zi*Bz, +Bz) x
     [yj*By, +By) x full x of the embedded system.
 
@@ -141,6 +141,9 @@ def _kernel(c00, c01, c02, c10, c11, c12, c20, c21, c22,
     """
     zi = pl.program_id(0)
     yj = pl.program_id(1)
+    # global z-block origin: shard-local program id + traced shard offset
+    # (SMEM scalar, sharded assembly) — 0 on a single chip
+    z0g = zi * Bz if zbase_ref is None else zi * Bz + zbase_ref[0]
 
     # haloed slab [dim, Bz+2, By+2, E2]: store rows [zi*Bz-1, zi*Bz+Bz+1) x
     # [yj*By-1, yj*By+By+1)
@@ -171,7 +174,7 @@ def _kernel(c00, c01, c02, c10, c11, c12, c20, c21, c22,
 
     # cell validity from global indices
     shape_c = (Bzp1, Byp1, e2)
-    gz = jax.lax.broadcasted_iota(jnp.int32, shape_c, 0) + zi * Bz - 2
+    gz = jax.lax.broadcasted_iota(jnp.int32, shape_c, 0) + z0g - 2
     gy = jax.lax.broadcasted_iota(jnp.int32, shape_c, 1) + yj * By - 2
     gx = jax.lax.broadcasted_iota(jnp.int32, shape_c, 2) - 1
     valid = ((gz >= 0) & (gz < node_max[0])
@@ -245,7 +248,7 @@ def _kernel(c00, c01, c02, c10, c11, c12, c20, c21, c22,
         return
     # zero-Dirichlet on the box boundary, masks from global node indices
     shape_o = (Bz, By, e2)
-    nz_ = jax.lax.broadcasted_iota(jnp.int32, shape_o, 0) + zi * Bz - 1
+    nz_ = jax.lax.broadcasted_iota(jnp.int32, shape_o, 0) + z0g - 1
     ny_ = jax.lax.broadcasted_iota(jnp.int32, shape_o, 1) + yj * By - 1
     nx_ = jax.lax.broadcasted_iota(jnp.int32, shape_o, 2) - 1
 
