@@ -12,7 +12,10 @@ speed-of-light time for an equivalent CUDA pipeline on an A100-40GB
 (1555 GB/s HBM): assembly traffic (~460 MB at fp32: element coords in, ELL
 values out, one pass) + ~130 Jacobi-PCG iterations of a 15-diagonal SpMV +
 vector work (~100 MB/iter) => ~13.4 GB => ~8.6 ms, i.e. ~1.2e8 DOFs/s
-end-to-end.  vs_baseline = measured_dofs_per_sec / 1.2e8.
+end-to-end.  vs_baseline = measured_dofs_per_sec / 1.2e8.  This denominator
+is an estimate with real error bars — see BENCH_NOTES.md "vs_baseline
+error bars" for the sensitivity analysis (0.9-1.9e8 under Jacobi-PCG
+assumptions; ~6e8 for a counterfactual A100 running our MG algorithm).
 
 Pipeline specifics (all TPU-native design, see SURVEY.md §7):
   * batch-trailing element kernels (tpufem.assemble.planar) — large minor
