@@ -58,3 +58,27 @@ def test_native_ell_width_too_small():
     mesh = np_rectangle_mesh(0, 1, 0, 1, 4, 4)
     with pytest.raises(ValueError, match="width"):
         native.ell_pattern(mesh.conn, mesh.num_nodes, 3)
+
+
+def test_native_rcm_exact_parity():
+    """Native RCM must match the numpy specification EXACTLY (same
+    pseudo-peripheral starts, level ordering, component handling)."""
+    from tpufem.mesh.adjacency import reverse_cuthill_mckee
+    from tpufem.mesh.rectangle import perturbed_rectangle_mesh
+
+    mesh = perturbed_rectangle_mesh(-3, 3, -3, 3, 40, 40, jitter=0.25,
+                                    seed=3)
+    pat = np_ell_pattern(mesh.conn, mesh.num_nodes, pad_to=8)
+    p_np = reverse_cuthill_mckee(pat.cols, use_native=False)
+    p_na = native.reverse_cuthill_mckee(pat.cols)
+    np.testing.assert_array_equal(p_na, p_np)
+
+    # duplicates + isolated nodes (disconnected components)
+    rng = np.random.default_rng(0)
+    cols = np.clip(np.arange(500)[:, None]
+                   + rng.integers(-20, 21, size=(500, 6)),
+                   0, 499).astype(np.int32)
+    cols[100:105] = np.arange(100, 105)[:, None]
+    np.testing.assert_array_equal(
+        native.reverse_cuthill_mckee(cols),
+        reverse_cuthill_mckee(cols, use_native=False))

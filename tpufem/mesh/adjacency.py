@@ -27,7 +27,8 @@ __all__ = ["node_adjacency", "ELLPattern", "ell_pattern",
 
 
 def reverse_cuthill_mckee(cols: np.ndarray,
-                          row_lengths: np.ndarray | None = None) -> np.ndarray:
+                          row_lengths: np.ndarray | None = None,
+                          use_native: bool = True) -> np.ndarray:
     """Level-wise reverse Cuthill-McKee ordering from an ELL cols array.
 
     Returns ``perm`` with new index i holding old node ``perm[i]``; applying
@@ -42,6 +43,13 @@ def reverse_cuthill_mckee(cols: np.ndarray,
     """
     cols = np.asarray(cols)
     n, K = cols.shape
+    if use_native:
+        try:
+            from tpufem import native
+            if native.available():
+                return native.reverse_cuthill_mckee(cols)
+        except Exception:
+            pass
     rows = np.repeat(np.arange(n, dtype=np.int64), K)
     c = cols.reshape(-1).astype(np.int64)
     m = rows != c                        # drop self/padding entries

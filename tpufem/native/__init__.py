@@ -62,6 +62,10 @@ def _load() -> Optional[ctypes.CDLL]:
         _i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
         ctypes.c_int32, _i32p, _i32p, _i32p]
     lib.tpufem_ell_pattern.restype = ctypes.c_int64
+    lib.tpufem_rcm.argtypes = [_i32p, ctypes.c_int64, ctypes.c_int32,
+                               np.ctypeslib.ndpointer(
+                                   np.int64, flags="C_CONTIGUOUS")]
+    lib.tpufem_rcm.restype = None
     _lib = lib
     return lib
 
@@ -137,3 +141,16 @@ def ell_pattern(conn: np.ndarray, num_nodes: int, width: int):
     if nnz < 0:
         raise ValueError(f"width {width} smaller than max row degree")
     return int(nnz), cols, diag, slots
+
+
+def reverse_cuthill_mckee(cols: np.ndarray) -> np.ndarray:
+    """Native level-set RCM (exact parity with
+    tpufem.mesh.adjacency.reverse_cuthill_mckee; ~10x faster at 1M rows)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (run build_native())")
+    cols = np.ascontiguousarray(cols, np.int32)
+    n, k = cols.shape
+    perm = np.empty(n, np.int64)
+    lib.tpufem_rcm(cols, n, k, perm)
+    return perm

@@ -174,4 +174,89 @@ int64_t tpufem_ell_pattern(const int32_t* conn, int64_t ne, int32_t npe,
   return static_cast<int64_t>(keys.size());
 }
 
+// Level-set reverse Cuthill-McKee from an ELL cols array.
+// Exact behavioral parity with tpufem.mesh.adjacency.reverse_cuthill_mckee
+// (pseudo-peripheral start, level ordering by (first-parent rank, degree,
+// node id), components by min-degree unvisited node) — the numpy version
+// is the executable specification and both are cross-tested.
+void tpufem_rcm(const int32_t* cols, int64_t n, int32_t K, int64_t* perm) {
+  // CSR with self/padding entries dropped; row-major edge order preserved
+  std::vector<int64_t> deg(n, 0);
+  for (int64_t i = 0; i < n; ++i)
+    for (int32_t k = 0; k < K; ++k)
+      if (cols[i * K + k] != i) deg[i]++;
+  std::vector<int64_t> row_start(n + 1, 0);
+  for (int64_t i = 0; i < n; ++i) row_start[i + 1] = row_start[i] + deg[i];
+  std::vector<int64_t> adj(row_start[n]);
+  {
+    std::vector<int64_t> cur(row_start.begin(), row_start.end() - 1);
+    for (int64_t i = 0; i < n; ++i)
+      for (int32_t k = 0; k < K; ++k) {
+        int64_t c = cols[i * K + k];
+        if (c != i) adj[cur[i]++] = c;
+      }
+  }
+
+  const int64_t BIG = INT64_MAX;
+  std::vector<int64_t> rank(n, BIG);
+  std::vector<int64_t> out;
+  out.reserve(n);
+
+  // one component BFS; appends ordered levels to `levels`
+  auto bfs_levels = [&](int64_t start, std::vector<char>& vis,
+                        std::vector<std::vector<int64_t>>& levels) {
+    std::vector<int64_t> frontier{start};
+    vis[start] = 1;
+    while (!frontier.empty()) {
+      levels.push_back(frontier);
+      std::vector<int64_t> cand;
+      for (int64_t fi = 0; fi < (int64_t)frontier.size(); ++fi) {
+        int64_t f = frontier[fi];
+        for (int64_t e = row_start[f]; e < row_start[f + 1]; ++e) {
+          int64_t nb = adj[e];
+          if (vis[nb]) continue;
+          if (rank[nb] == BIG) cand.push_back(nb);
+          if (fi < rank[nb]) rank[nb] = fi;
+        }
+      }
+      if (cand.empty()) break;
+      std::sort(cand.begin(), cand.end(), [&](int64_t a, int64_t b) {
+        if (rank[a] != rank[b]) return rank[a] < rank[b];
+        if (deg[a] != deg[b]) return deg[a] < deg[b];
+        return a < b;
+      });
+      for (int64_t nb : cand) { vis[nb] = 1; rank[nb] = BIG; }
+      frontier.swap(cand);
+    }
+  };
+
+  std::vector<char> visited(n, 0);
+  int64_t filled = 0;
+  while (filled < n) {
+    // component start: unvisited node of minimum degree (first on ties)
+    int64_t start = -1, best = BIG;
+    for (int64_t i = 0; i < n; ++i)
+      if (!visited[i] && deg[i] < best) { best = deg[i]; start = i; }
+    // pseudo-peripheral (George-Liu) iteration on a visited copy
+    int64_t depth = -1;
+    for (int it = 0; it < 4; ++it) {
+      std::vector<char> vcopy(visited);
+      std::vector<std::vector<int64_t>> levels;
+      bfs_levels(start, vcopy, levels);
+      if ((int64_t)levels.size() <= depth) break;
+      depth = (int64_t)levels.size();
+      const auto& last = levels.back();
+      int64_t s2 = last[0];
+      for (int64_t v : last)
+        if (deg[v] < deg[s2]) s2 = v;
+      start = s2;
+    }
+    std::vector<std::vector<int64_t>> levels;
+    bfs_levels(start, visited, levels);
+    for (const auto& lvl : levels)
+      for (int64_t v : lvl) { out.push_back(v); ++filled; }
+  }
+  for (int64_t i = 0; i < n; ++i) perm[i] = out[n - 1 - i];
+}
+
 }  // extern "C"
