@@ -107,3 +107,26 @@ def test_solve_poisson_ell_pallas_path():
     err = (np.sqrt(np.mean((np.asarray(sol.u) - ue) ** 2))
            / np.sqrt(np.mean(ue ** 2)))
     assert err < 5e-3, err
+
+
+def test_bcsr_pallas_matches_gather():
+    """Banded block (BCSR) kernel vs the gather matvec, interpret mode."""
+    from tpufem.sparse.bcsr import BCSRMatrix
+    from tpufem.sparse.ell_pallas import bcsr_band_plan, bcsr_matvec_pallas
+
+    rng = np.random.default_rng(3)
+    nr, k, band, b = 2000, 8, 200, 3
+    cols = np.clip(np.arange(nr)[:, None]
+                   + rng.integers(-band, band + 1, size=(nr, k)),
+                   0, nr - 1).astype(np.int32)
+    data = rng.standard_normal((nr, k, b, b)).astype(np.float32)
+    x = rng.standard_normal((b, nr)).astype(np.float32)
+    plan, data_t = bcsr_band_plan(data, cols, block_rows=512)
+    y = bcsr_matvec_pallas(plan, jnp.asarray(data_t), jnp.asarray(plan.rel),
+                           jnp.asarray(x), interpret=True)
+    A = BCSRMatrix(jnp.asarray(data), jnp.asarray(cols))
+    ref = np.asarray(A.matvec(
+        jnp.asarray(np.ascontiguousarray(x.T.reshape(-1)))))
+    ref = ref.reshape(nr, b).T
+    err = np.abs(np.asarray(y) - ref).max() / np.abs(ref).max()
+    assert err < 1e-5, err

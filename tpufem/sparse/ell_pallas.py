@@ -40,7 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["ELLBandPlan", "ell_band_plan", "ell_matvec_pallas"]
+__all__ = ["ELLBandPlan", "ell_band_plan", "ell_matvec_pallas",
+           "bcsr_band_plan", "bcsr_matvec_pallas"]
 
 
 def _trace_ctx(dtype):
@@ -189,3 +190,112 @@ def ell_matvec_pallas(plan: ELLBandPlan, data_dev, rel_dev, x, *,
             interpret=interpret,
         )(d3, r3, x3, x3, x3)
     return y.reshape(-1)[:plan.n]
+
+
+# -- block (BCSR) variant ------------------------------------------------------
+
+def bcsr_band_plan(data, cols, *, block_rows: int = 1024):
+    """Banded plan for a BCSR matrix (data [NR, K, b, b], cols [NR, K]).
+
+    Returns (plan, data_t [K, b, b, NP]) — the plan's rel/d_lists are built
+    on the node pattern exactly as in :func:`ell_band_plan`; values are
+    transposed to block-leading planes so each (c, d) component streams
+    contiguously.
+    """
+    data = np.asarray(data)
+    cols = np.asarray(cols)
+    nr, K, b, _ = data.shape
+    scalar = np.ones((nr, K), data.dtype)     # only the pattern matters
+    plan = ell_band_plan(scalar, cols, block_rows=block_rows)
+    pad = plan.np_rows - nr
+    if pad:
+        data = np.pad(data, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    # [K, b, b, NP]
+    data_t = np.ascontiguousarray(np.transpose(data, (1, 2, 3, 0)))
+    return plan, data_t
+
+
+def _block_kernel(data_ref, rel_ref, *refs, d_lists, nb_comp):
+    """refs: per-component (xm, x0, xp) triples then o_ref.
+
+    Gathers are shared across the block row: one lane-gather per
+    (slot, delta, source component) feeds all nb_comp output components.
+    """
+    xs = refs[: 3 * nb_comp]
+    o_ref = refs[3 * nb_comp]
+    wins = [jnp.concatenate([xs[3 * d][0], xs[3 * d + 1][0],
+                             xs[3 * d + 2][0]], axis=0)
+            for d in range(nb_comp)]
+    K = data_ref.shape[0]
+    sub = xs[1].shape[1]
+    base = jax.lax.broadcasted_iota(jnp.int32, xs[1][0].shape, 0) + sub
+    y = [jnp.zeros_like(xs[1][0]) for _ in range(nb_comp)]
+    for k in range(K):
+        rel = rel_ref[k, 0]
+        s_idx = rel // 128
+        lane = rel - s_idx * 128
+        for d in range(nb_comp):
+            acc = None
+            for dd in d_lists[k]:
+                shifted = jax.lax.slice_in_dim(wins[d], sub + dd,
+                                               2 * sub + dd, axis=0)
+                g = jnp.take_along_axis(shifted, lane, axis=1)
+                hit = jnp.where(s_idx == base + dd, g, 0.0)
+                acc = hit if acc is None else acc + hit
+            if acc is None:
+                continue
+            for c in range(nb_comp):
+                y[c] = y[c] + data_ref[k, c, d, 0] * acc
+    o_ref[0] = jnp.stack(y)
+
+
+def bcsr_matvec_pallas(plan: ELLBandPlan, data_dev, rel_dev, x, *,
+                       interpret: bool = False):
+    """y = A x for a banded BCSR matrix.
+
+    data_dev [K, b, b, NP] (from bcsr_band_plan), rel_dev [K, NP],
+    x [b, NR] (component-major).  Returns y [b, NR].
+    """
+    R = plan.block_rows
+    sub = R // 128
+    nb = plan.np_rows // R
+    K = plan.width
+    b = data_dev.shape[1]
+    if x.shape[-1] != plan.np_rows:
+        x = jnp.pad(x, ((0, 0), (0, plan.np_rows - x.shape[-1])))
+    x4 = x.reshape(b, nb, sub, 128)
+    d5 = data_dev.reshape(K, b, b, nb, sub, 128)
+    r3 = rel_dev.reshape(K, nb, sub, 128)
+
+    kern = functools.partial(_block_kernel, d_lists=plan.d_lists,
+                             nb_comp=b)
+    xm = pl.BlockSpec((1, sub, 128), lambda j: (jnp.maximum(j - 1, 0), 0, 0),
+                      memory_space=pltpu.VMEM)
+    x0 = pl.BlockSpec((1, sub, 128), lambda j: (j, 0, 0),
+                      memory_space=pltpu.VMEM)
+    xp = pl.BlockSpec((1, sub, 128), lambda j: (jnp.minimum(j + 1, nb - 1),
+                                                0, 0),
+                      memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((K, b, b, 1, sub, 128),
+                     lambda j: (0, 0, 0, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, 1, sub, 128), lambda j: (0, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    xins = []
+    for d in range(b):
+        for spec in (xm, x0, xp):
+            xins.append(spec)
+    with _trace_ctx(x.dtype):
+        y = pl.pallas_call(
+            kern,
+            grid=(nb,),
+            in_specs=in_specs + xins,
+            out_specs=pl.BlockSpec((1, b, sub, 128),
+                                   lambda j: (j, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nb, b, sub, 128), x.dtype),
+            interpret=interpret,
+        )(d5, r3, *[x4[d] for d in range(b) for _ in range(3)])
+    return jnp.moveaxis(y, 1, 0).reshape(b, -1)[:, :plan.n]
