@@ -90,7 +90,8 @@ def main():
     rule = tetrahedron_rule(2)
     f_planes = model_problem_3d_planes()
     _, exact = model_problem_3d()
-    bc_mask = plan.embed_field(jnp.asarray(bc_grid.reshape(-1)), fill=False)
+    bc_mask = jax.device_put(jnp.asarray(_embed_grid_numpy(
+        bc_grid, plan.store_grid, fill=False)))
 
     with timer("h2d"):
         X = jax.device_put(jnp.asarray(Ch))

@@ -168,7 +168,7 @@ class DistMGLevel:
 
 def _analytic_level(domain, s: int, dim: int, dtype):
     """(data [K, *ng], mask [*ng], offsets_grid) plain-grid, BC-eliminated."""
-    info, _, bc_grid = _light_grid(domain, s, dim)
+    info, _, bc_grid = _light_grid(domain, s, dim, with_coords=False)
     plan = structured_plan(info, embed=False)
     Ke = _uniform_cell_stiffness(domain, s, dim, np.float64)
     raw = _uniform_stencil_data(plan, Ke, dtype)       # [K, NN] flat

@@ -80,13 +80,15 @@ def node_coords_embedded_from_grid(coords_grid, plan: StructuredPlan,
     sg = plan.store_grid
     dim = coords_grid.shape[0]
     g = len(sg)
-    axes = [np.arange(sg[d], dtype=np.float64) - 1.0 for d in range(g)]
-    out = np.zeros((dim,) + tuple(sg), dtype)
-    idx_planes = np.meshgrid(*axes, indexing="ij")
+    out = np.empty((dim,) + tuple(sg), dtype)
     for d in range(dim):
         # grid axis of coordinate d: x varies along the last axis, y along
-        # the one before, z first
-        out[d] = idx_planes[g - 1 - d]
+        # the one before, z first — broadcast assignment, no meshgrid
+        # materialization (the f64 meshgrid alone cost ~4 s at 224^3)
+        ax = g - 1 - d
+        ramp = (np.arange(sg[ax], dtype=dtype) - 1.0).reshape(
+            (1,) * ax + (sg[ax],) + (1,) * (g - 1 - ax))
+        out[d] = ramp
     valid = (slice(None),) + tuple(slice(1, 1 + ng[d]) for d in range(g))
     out[valid] = coords_grid
     return out

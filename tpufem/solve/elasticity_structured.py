@@ -162,7 +162,7 @@ jax.tree_util.register_pytree_node(
 
 
 def _level_setup(domain, s, lam, mu, dtype):
-    info, _, bc_grid = _light_grid(domain, s, 3)
+    info, _, bc_grid = _light_grid(domain, s, 3, with_coords=False)
     plan = structured_plan(info, embed=True)
     Ke1, _ = uniform_cell_matrices(domain, s, lam, mu)
     data_np = elasticity_stencil_data(plan, Ke1, np.dtype(dtype).type)

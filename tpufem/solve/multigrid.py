@@ -185,10 +185,14 @@ def _residual(level: MGLevel, r, e, use_pallas: bool):
     return r - _matvec(level, e, False)
 
 
-def _light_grid(domain, s: int, dim: int):
+def _light_grid(domain, s: int, dim: int, with_coords: bool = True):
     """(StructuredInfo, node coords grid [dim, *ng], bc grid) — no Mesh, no
     connectivity: hierarchy setup at 10M+ DOFs must not materialize element
-    arrays (O(6 N) int32 conn + gathered coords)."""
+    arrays (O(6 N) int32 conn + gathered coords).
+
+    ``with_coords=False`` skips the coordinate meshgrid (returns None) —
+    analytic hierarchy levels never read it, and at 224^3 the meshgrid
+    alone costs ~4 s."""
     from tpufem.mesh.box import _KUHN_TETS
     from tpufem.mesh.core import StructuredInfo
 
@@ -200,10 +204,12 @@ def _light_grid(domain, s: int, dim: int):
         offs = np.asarray(_KUHN_TETS, dtype=np.int64)
     info = StructuredInfo(node_grid=(s + 1,) * dim, cell_grid=(s,) * dim,
                           type_node_offsets=offs)
-    ax = np.linspace(lo, hi, s + 1)
-    grids = np.meshgrid(*([ax] * dim), indexing="ij")
-    # coordinate d varies along grid axis (dim-1-d): x fastest
-    coords_grid = np.stack([grids[dim - 1 - d] for d in range(dim)])
+    coords_grid = None
+    if with_coords:
+        ax = np.linspace(lo, hi, s + 1)
+        grids = np.meshgrid(*([ax] * dim), indexing="ij")
+        # coordinate d varies along grid axis (dim-1-d): x fastest
+        coords_grid = np.stack([grids[dim - 1 - d] for d in range(dim)])
     bc = np.zeros((s + 1,) * dim, bool)
     for d in range(dim):
         sl0 = [slice(None)] * dim
@@ -225,7 +231,7 @@ def _uniform_cell_stiffness(domain, s: int, dim: int, dtype) -> np.ndarray:
 
     lo, hi = domain
     h = (hi - lo) / s
-    info1, coords_grid1, _ = _light_grid((lo, lo + h), 1, dim)
+    info1, coords_grid1, _ = _light_grid((lo, lo + h), 1, dim)  # 1-cell
     # pin to the CPU backend: these are a handful of tiny eager ops, which
     # cost ~30 ms each through the remote-TPU relay
     with jax.default_device(jax.devices("cpu")[0]):
@@ -313,7 +319,7 @@ def build_poisson_multigrid(domain, n_cells: int, dim: int, *,
 
     out: List[MGLevel] = []
     for li, s in enumerate(sizes):
-        info, _, bc_grid = _light_grid(domain, s, dim)
+        info, _, bc_grid = _light_grid(domain, s, dim, with_coords=False)
         plan = structured_plan(info, embed=True)
         if li == 0 and top is not None:
             data, bc = top

@@ -66,9 +66,14 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
     t0 = time.perf_counter()
     from tpufem.solve.multigrid import _light_grid
 
+    from tpufem.solve.multigrid import _embed_grid_numpy
+
     info, coords_grid, bc_grid = _light_grid(domain, n_cells, dim)
     plan = structured_plan(info, embed=True)
-    bc_mask = plan.embed_field(jnp.asarray(bc_grid.reshape(-1)), fill=False)
+    # embeds happen in numpy + one device_put: an eager device op at a novel
+    # 10M+ shape costs a fresh remote compile (seconds-minutes on axon)
+    bc_mask = jax.device_put(jnp.asarray(
+        _embed_grid_numpy(bc_grid, plan.store_grid, fill=False)))
     block_lead = pick_block_lead(plan.store_grid, plan.width)
     C = jax.device_put(jnp.asarray(node_coords_embedded_from_grid(
         coords_grid, plan, np.dtype(dtype).type)))
@@ -76,8 +81,8 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
     if g is not None:
         g_nodes = np.asarray(g(*[coords_grid[d] for d in range(dim)]),
                              np.dtype(dtype).type)
-        g_emb = jax.device_put(plan.embed_field(
-            jnp.asarray(g_nodes.reshape(-1))))
+        g_emb = jax.device_put(jnp.asarray(_embed_grid_numpy(
+            g_nodes.reshape(bc_grid.shape), plan.store_grid)))
     phases["host_setup"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
