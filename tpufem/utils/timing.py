@@ -37,24 +37,32 @@ def _force(x):
 
 def device_seconds_per_rep(run: Callable[[int], object], *,
                            reps_low: int = 3, reps_high: int = 53,
-                           warmup: bool = True) -> float:
+                           warmup: bool = True, trials: int = 3) -> float:
     """Seconds per repetition of the kernel inside ``run``.
 
     ``run(reps)`` must execute its kernel ``reps`` times *inside one jitted
     call* with a loop-carried data dependence (so XLA cannot hoist work out
     of the loop), and return an array.
+
+    ``trials``: the (low, high) pair is measured this many times and the
+    MEDIAN difference reported — relay latency fluctuates, and a slow relay
+    moment hitting only one side of a single pair can distort the
+    difference by several x (observed: a 1.5 ms kernel reading 0.33 ms).
     """
     if warmup:
         _force(run(reps_low))
         _force(run(reps_high))
-    t0 = time.perf_counter()
-    _force(run(reps_low))
-    t_low = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _force(run(reps_high))
-    t_high = time.perf_counter() - t0
-    dt = (t_high - t_low) / (reps_high - reps_low)
-    return max(dt, 1e-9)
+    diffs = []
+    for _ in range(max(1, trials)):
+        t0 = time.perf_counter()
+        _force(run(reps_low))
+        t_low = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _force(run(reps_high))
+        t_high = time.perf_counter() - t0
+        diffs.append((t_high - t_low) / (reps_high - reps_low))
+    diffs.sort()
+    return max(diffs[len(diffs) // 2], 1e-9)
 
 
 def bandwidth_gbs(bytes_moved: float, seconds: float) -> float:
