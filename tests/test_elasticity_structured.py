@@ -104,3 +104,26 @@ def test_elasticity_box_zero_force_is_zero():
                                body_force=None, dtype=jnp.float64,
                                tol=1e-12, maxiter=100)
     assert np.abs(sol.u).max() < 1e-12
+
+
+def test_solve_elasticity_pallas_matvec():
+    """Unstructured BCSR path through the banded block kernel matches the
+    gather path (interpret mode)."""
+    from tpufem.mesh.rectangle import perturbed_rectangle_mesh
+    from tpufem.solve.elasticity import solve_elasticity
+
+    mesh = perturbed_rectangle_mesh(0, 1, 0, 1, 10, 10, jitter=0.2, seed=2)
+
+    def bf(x):
+        return np.stack([0.0 * x[..., 0] + 1.0, -0.5 + 0.0 * x[..., 0]],
+                        axis=-1)
+
+    ref = solve_elasticity(mesh, lam=1.2, mu=0.8, body_force=bf,
+                           dtype=jnp.float64, tol=1e-10, maxiter=4000)
+    sol = solve_elasticity(mesh, lam=1.2, mu=0.8, body_force=bf,
+                           dtype=jnp.float64, tol=1e-10, maxiter=4000,
+                           matvec="pallas", block_rows=128, interpret=True)
+    assert bool(sol.cg.converged)
+    du = (np.linalg.norm(np.asarray(sol.u) - np.asarray(ref.u))
+          / np.linalg.norm(np.asarray(ref.u)))
+    assert du < 1e-8, du
