@@ -123,3 +123,19 @@ def test_dist_mg_2d(cpu_devices):
     err = (np.linalg.norm(u - x_true.reshape(-1))
            / np.linalg.norm(x_true))
     assert err < 1e-8, err
+
+
+def test_dist_mg_replicated_fallback(cpu_devices):
+    """Odd n_cells gives a hierarchy with no distributed level; the solve
+    must fall back to the replicated path instead of crashing."""
+    mesh = _mesh8(cpu_devices)
+    n = 15                                    # sizes=[15]: single level
+    levels = build_dist_hierarchy((-3.0, 3.0), n, 3, 8, dtype=np.float64)
+    assert not any(lv.distributed for lv in levels)
+    b, x_true = _manufactured(levels)
+    u, res = solve_poisson_dist((-3.0, 3.0), n, 3, mesh, b.reshape(-1),
+                                dtype=np.float64, tol=1e-9, maxiter=200)
+    assert bool(res.converged)
+    err = (np.linalg.norm(u - x_true.reshape(-1))
+           / np.linalg.norm(x_true))
+    assert err < 1e-6, err

@@ -34,7 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpufem.assemble.structured import StructuredPlan
-from tpufem.ops.fused_system_pallas import _kernel, _pick_blocks, _trace_ctx
+from tpufem.ops.fused_system_pallas import _kernel, _pick_blocks
+from tpufem.utils.pallas_ctx import trace_ctx as _trace_ctx
 
 __all__ = ["build_poisson_system_sharded", "solve_poisson_dist_general"]
 

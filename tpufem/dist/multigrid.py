@@ -406,9 +406,32 @@ def mgpcg_dist(levels: List[DistMGLevel], arrs, b, mesh: Mesh, *,
     Returns CGResult with x as the global sharded grid array.
     """
     fine = levels[0]
+    tol = float(tol)
+    if not fine.distributed:
+        # degenerate hierarchy (odd n_cells or too few planes per shard):
+        # every level is replicated — solve without shard_map, same math
+        from tpufem.solve.cg import cg as _plain_cg
+
+        arrs_t = tuple(arrs)
+
+        @jax.jit
+        def run_rep(arrs_t, b):
+            data0 = arrs_t[0][0]
+
+            def mv(v):
+                return grid_stencil_matvec(data0, v, fine.offsets_grid,
+                                           None)
+
+            def M(r):
+                return _v_cycle_local(levels, arrs_t, r, 0, None, nu1,
+                                      nu2, omega)
+
+            return _plain_cg(mv, b, tol=tol, maxiter=maxiter, M=M)
+
+        return run_rep(arrs_t, jnp.asarray(b))
+
     specs = shard_specs(levels, axis_name)
     in_specs = (tuple(specs), P(axis_name))
-    tol = float(tol)
 
     @functools.partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
                        out_specs=(P(axis_name), P(), P(), P(), P()))

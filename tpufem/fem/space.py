@@ -47,14 +47,13 @@ def _boundary_edge_keys_3d(conn: np.ndarray, num_nodes: int) -> np.ndarray:
     connect two boundary nodes); the correct test is membership in a
     boundary FACET — a triangle appearing in exactly one tet.
     """
-    tris = np.sort(conn[:, _TET_FACETS].astype(np.int64), axis=2)  # [NE,4,3]
-    fkeys = ((tris[..., 0] * num_nodes + tris[..., 1]) * num_nodes
-             + tris[..., 2]).ravel()
-    uk, counts = np.unique(fkeys, return_counts=True)
+    tris = np.sort(conn[:, _TET_FACETS].astype(np.int64),
+                   axis=2).reshape(-1, 3)
+    # unique facet TRIPLES via row-wise unique — a cubic scalar key
+    # num_nodes**2 * v0 would overflow int64 beyond ~2.1M nodes
+    uk, counts = np.unique(tris, axis=0, return_counts=True)
     bk = uk[counts == 1]
-    v0 = bk // (num_nodes * num_nodes)
-    rem = bk % (num_nodes * num_nodes)
-    v1, v2 = rem // num_nodes, rem % num_nodes
+    v0, v1, v2 = bk[:, 0], bk[:, 1], bk[:, 2]
     pairs = np.concatenate([np.stack([v0, v1], 1), np.stack([v1, v2], 1),
                             np.stack([v0, v2], 1)])
     lo = pairs.min(1)

@@ -26,8 +26,7 @@ __all__ = ["node_adjacency", "ELLPattern", "ell_pattern",
            "greedy_element_coloring", "reverse_cuthill_mckee"]
 
 
-def reverse_cuthill_mckee(cols: np.ndarray,
-                          row_lengths: np.ndarray | None = None,
+def reverse_cuthill_mckee(cols: np.ndarray, *,
                           use_native: bool = True) -> np.ndarray:
     """Level-wise reverse Cuthill-McKee ordering from an ELL cols array.
 

@@ -46,15 +46,7 @@ __all__ = ["node_coords_embedded", "node_coords_embedded_from_grid",
            "build_poisson_system_pallas"]
 
 
-def _trace_ctx(dtype):
-    """x64 disabled while tracing <=32-bit kernels: i64 grid indices send
-    Mosaic's convert lowering into infinite recursion.  64-bit kernels (CPU
-    interpret-mode verification paths) keep x64 on."""
-    import contextlib
-    import numpy as _np
-    if _np.dtype(dtype).itemsize <= 4:
-        return jax.enable_x64(False)
-    return contextlib.nullcontext()
+from tpufem.utils.pallas_ctx import trace_ctx as _trace_ctx
 
 
 def node_coords_embedded(mesh: Mesh, plan: StructuredPlan,

@@ -37,7 +37,7 @@ from tpufem.ops.stencil_pallas import (pick_block_lead,
                                         stencil_matvec_embedded,
                                         stencil_residual_embedded,
                                         stencil_smooth_embedded)
-from tpufem.sparse.stencil import StencilMatrix, stencil_matvec
+from tpufem.sparse.stencil import stencil_matvec
 
 __all__ = ["prolong", "restrict", "MGLevel", "build_poisson_multigrid",
            "v_cycle", "mg_preconditioner"]

@@ -44,12 +44,7 @@ __all__ = ["ELLBandPlan", "ell_band_plan", "ell_matvec_pallas",
            "bcsr_band_plan", "bcsr_matvec_pallas"]
 
 
-def _trace_ctx(dtype):
-    """x64 off while tracing <=32-bit kernels (see ops.stencil_pallas)."""
-    import contextlib
-    if np.dtype(dtype).itemsize <= 4:
-        return jax.enable_x64(False)
-    return contextlib.nullcontext()
+from tpufem.utils.pallas_ctx import trace_ctx as _trace_ctx
 
 
 class ELLBandPlan(NamedTuple):
