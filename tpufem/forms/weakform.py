@@ -258,7 +258,12 @@ class WeakForm:
     # -- assembly ------------------------------------------------------------
 
     def assemble(self, format: str = "ell", pattern=None, pad_to=None):
-        """Assemble (A, b). format in {"dense", "ell"}."""
+        """Assemble (A, b). format in {"dense", "ell", "stencil"}.
+
+        "stencil" (P1 scalar on structured meshes) routes the weak form to
+        the shift-invariant zero-scatter path — the same storage the fused
+        kernels and geometric multigrid consume (solve.bc
+        .apply_dirichlet_stencil applies BCs)."""
         space = self.space
         ecoords = jnp.asarray(space.mesh.element_coords(), self.dtype)
         Ke = self.element_matrices(ecoords)
@@ -276,6 +281,18 @@ class WeakForm:
                 pattern = ell_pattern(space.dof_conn, space.num_dofs,
                                       pad_to=pad_to)
             A = assemble_ell(pattern, Ke)
+        elif format == "stencil":
+            from tpufem.assemble.structured import (
+                assemble_stencil_structured, structured_plan)
+            if getattr(space.mesh, "structured", None) is None:
+                raise ValueError(
+                    "format='stencil' needs a structured mesh "
+                    "(rectangle_mesh / box_mesh)")
+            if space.degree != 1 or space.num_components != 1:
+                raise ValueError("format='stencil' supports P1 scalar "
+                                 "spaces; use 'ell' otherwise")
+            plan = structured_plan(space.mesh)
+            A = assemble_stencil_structured(plan, Ke)
         else:
             raise ValueError(f"unknown format {format!r}")
         return A, b
