@@ -172,7 +172,8 @@ def main():
             return stencil_matvec_embedded(data, v, plan,
                                            block_lead=block_lead,
                                            interpret=interp)
-        res = cg(mv, b + eps, tol=1e-5, maxiter=iters + 4, M=precond)
+        res = cg(mv, b + eps, tol=1e-5, maxiter=iters + 4, M=precond,
+                 check_every=4)
         return res.x, res.residual_norm, res.iterations
 
     @jax.jit

@@ -29,17 +29,24 @@ class CGResult(NamedTuple):
 
 
 def cg(matvec: Callable, b, x0=None, *, tol: float = 1e-8,
-       maxiter: int = 1000, M: Optional[Callable] = None) -> CGResult:
+       maxiter: int = 1000, M: Optional[Callable] = None,
+       check_every: int = 1) -> CGResult:
     """Solve A x = b with (preconditioned) CG.
 
     matvec: x -> A x (A symmetric positive definite).
     M:      optional preconditioner application r -> M^-1 r.
     tol:    relative tolerance on ||r||_2 / ||b||_2.
 
+    ``check_every``: iterations per convergence check. The while_loop's
+    per-iteration guard costs a device-wide sync; batching k steps per
+    check recovers most of the fixed-iteration loop's pipelining at the
+    price of up to k-1 extra iterations past the tolerance.
+
     Supports warm restart: pass ``x0`` (e.g. a checkpointed iterate).
     """
     if M is None:
         M = lambda r: r
+    check_every = max(1, int(check_every))
 
     x0 = jnp.zeros_like(b) if x0 is None else x0
     b_norm = jnp.linalg.norm(b)
@@ -69,10 +76,31 @@ def cg(matvec: Callable, b, x0=None, *, tol: float = 1e-8,
         beta = rz_new / rz
         p = z + beta * p
         bad = ~jnp.isfinite(rz_new) | ~jnp.isfinite(pAp) | (pAp <= 0)
-        return (x, r, z, p, rz_new, k + 1, bad)
+        # freeze the state once converged/diverged inside a check batch so
+        # extra batched steps cannot corrupt the answer (e.g. 0/0 alphas)
+        done = (jnp.linalg.norm(r) <= atol) | bad
+        return (x, r, z, p, jnp.where(done, rz, rz_new), k + 1, bad), done
+
+    def batched(state):
+        def body(i, st_done):
+            st, done = st_done
+            new_st, new_done = step(st)
+            out = jax.tree_util.tree_map(
+                lambda a, b_: jnp.where(done, a, b_), st, new_st)
+            # iteration counter still advances only while not done
+            out = out[:5] + (jnp.where(done, st[5], new_st[5]),
+                             new_st[6] | st[6])
+            return (out, done | new_done)
+        st, _ = jax.lax.fori_loop(
+            0, check_every, body, (state, jnp.asarray(False)))
+        return st
 
     init = (x0, r0, z0, p0, rz0, jnp.int32(0), jnp.asarray(False))
-    x, r, _, _, _, k, bad = jax.lax.while_loop(not_done, step, init)
+    if check_every == 1:
+        x, r, _, _, _, k, bad = jax.lax.while_loop(
+            not_done, lambda s: step(s)[0], init)
+    else:
+        x, r, _, _, _, k, bad = jax.lax.while_loop(not_done, batched, init)
 
     rnorm = jnp.linalg.norm(r) / safe_b_norm
     converged = (rnorm <= tol) & (~bad)
