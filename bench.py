@@ -51,12 +51,14 @@ from tpufem.assemble.structured import structured_plan
 from tpufem.fem.quadrature import tetrahedron_rule
 from tpufem.ops.fused_system_pallas import (build_poisson_system_pallas,
                                             node_coords_embedded_from_grid)
-from tpufem.ops.stencil_pallas import pick_block_lead, stencil_matvec_embedded
+from tpufem.ops.stencil_pallas import (pick_block_lead,
+                                       stencil_matvec_dot_embedded,
+                                       stencil_matvec_embedded)
 from tpufem.solve.cg import cg, cg_fixed
 from tpufem.solve.multigrid import (_apply_bc_numpy, _embed_grid_numpy,
                                     _light_grid, _uniform_cell_stiffness,
                                     _uniform_stencil_data,
-                                    build_poisson_multigrid,
+                                    build_poisson_multigrid, cast_hierarchy,
                                     mg_preconditioner)
 from tpufem.solve.poisson import model_problem_3d, model_problem_3d_planes
 from tpufem.solve.refine import refined_stencil_solve
@@ -112,6 +114,11 @@ def main():
         data, b, inv_d = build_system(X)
         _ = float(b[0])
 
+    # mixed-precision V-cycle: bfloat16 coefficient planes halve the
+    # preconditioner's dominant HBM traffic at zero iteration cost (the
+    # rounded level operators stay symmetric; measured 0.488 -> 0.298
+    # ms/iter at n=96 with identical relres) — see BENCH_NOTES.md
+    pdtype = os.environ.get("TPUFEM_BENCH_PRECOND_DTYPE", "bfloat16")
     with timer("build_mg_hierarchy"):
         if solver == "mg":
             # finest level reuses the fused on-device build (top=...); the
@@ -119,10 +126,16 @@ def main():
             levels = build_poisson_multigrid((-3.0, 3.0), n, 3, dtype=dtype,
                                              coarse_max=8, use_pallas=True,
                                              top=(data, bc_mask))
+            if pdtype != "float32":
+                levels = cast_hierarchy(levels, jnp.dtype(pdtype))
             precond = mg_preconditioner(levels, nu1=1, nu2=1,
                                         use_pallas=not interp)
+            precond_dot = mg_preconditioner(levels, nu1=1, nu2=1,
+                                            use_pallas=not interp,
+                                            with_dot=True)
         else:
             precond = lambda r: r * inv_d
+            precond_dot = None
 
     # ---- timed: full assembly (stiffness + RHS + BC), rep-difference ----
     @jax.jit
@@ -138,13 +151,18 @@ def main():
         lambda r: asm_reps(X, jnp.int32(r)), reps_low=2, reps_high=22)
 
     # ---- one jitted PCG used for both timing and convergence ----
+    def mv_of(data):
+        return lambda v: stencil_matvec_embedded(
+            data, v, plan, block_lead=block_lead, interpret=interp)
+
+    def mvd_of(data):
+        return lambda v: stencil_matvec_dot_embedded(
+            data, v, plan, block_lead=block_lead, interpret=interp)
+
     @jax.jit
     def pcg_run(data, b, iters):
-        def mv(v):
-            return stencil_matvec_embedded(data, v, plan,
-                                           block_lead=block_lead,
-                                           interpret=interp)
-        x, r = cg_fixed(mv, b, iters, M=precond)
+        x, r = cg_fixed(mv_of(data), b, iters, M=precond,
+                        matvec_dot=mvd_of(data), M_dot=precond_dot)
         return x, jnp.linalg.norm(r) / jnp.linalg.norm(b)
 
     reps_hi = 60 if solver == "mg" else 210
@@ -168,12 +186,9 @@ def main():
     # the convergence-checked while_loop the user actually calls) ----
     @jax.jit
     def cg_guarded_run(data, b, eps):
-        def mv(v):
-            return stencil_matvec_embedded(data, v, plan,
-                                           block_lead=block_lead,
-                                           interpret=interp)
-        res = cg(mv, b + eps, tol=1e-5, maxiter=iters + 4, M=precond,
-                 check_every=4)
+        res = cg(mv_of(data), b + eps, tol=1e-5, maxiter=iters + 4,
+                 M=precond, check_every=4, matvec_dot=mvd_of(data),
+                 M_dot=precond_dot)
         return res.x, res.residual_norm, res.iterations
 
     @jax.jit
@@ -203,8 +218,8 @@ def main():
         return refined_stencil_solve(
             data, data64, offsets, b.astype(jnp.float64), precond,
             tol=1e-8, inner_iters=12, max_outer=6,
-            matvec32=lambda v: stencil_matvec_embedded(
-                data, v, plan, block_lead=block_lead, interpret=interp))
+            matvec32=mv_of(data), matvec_dot32=mvd_of(data),
+            M_dot=precond_dot)
 
     @jax.jit
     def refined_reps(data, data64, b, reps):
@@ -251,6 +266,7 @@ def main():
         "pcg_iter_ms": round(t_iter * 1e3, 4),
         "pcg_iter_hbm_sol_fraction": round(iter_sol, 3),
         "solver": solver,
+        "precond_dtype": pdtype if solver == "mg" else "float32",
         "pcg_iters_to_1e-5": iters,
         "pcg_relres": relres,
         "solve_ms": round(iters * t_iter * 1e3, 2),

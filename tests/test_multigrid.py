@@ -134,3 +134,83 @@ def test_vcycle_reduces_error():
     err0 = float(jnp.linalg.norm(x_true))
     err1 = float(jnp.linalg.norm(x_true - e))
     assert err1 < 0.2 * err0, (err0, err1)
+
+
+# -- round-2 additions: fused dots + mixed-precision preconditioner ----------
+
+def _small_hierarchy(n=16, dim=3):
+    from tpufem.solve.multigrid import build_poisson_multigrid
+    levels = build_poisson_multigrid((-3.0, 3.0), n, dim,
+                                     dtype=jnp.float32, use_pallas=False)
+    L = levels[0]
+    rng = np.random.default_rng(7)
+    ns = L.plan.num_store_rows
+    diag = np.asarray(L.data[L.plan.offsets.index(0)])
+    xt = jnp.asarray(np.where(diag != 0, rng.standard_normal(ns), 0.0),
+                     jnp.float32)
+    r = jnp.asarray(np.where(diag != 0, rng.standard_normal(ns), 0.0),
+                    jnp.float32)
+    return levels, L, xt, r
+
+
+def test_fused_dot_kernels_match_unfused():
+    """interpret-mode exactness: matvec_dot / smooth_dot vs separate ops."""
+    from tpufem.ops.stencil_pallas import (
+        stencil_matvec_dot_embedded, stencil_matvec_embedded,
+        stencil_smooth_dot_embedded, stencil_smooth_embedded)
+    _, L, x, r = _small_hierarchy()
+    y0 = stencil_matvec_embedded(L.data, x, L.plan, interpret=True)
+    y1, d1 = stencil_matvec_dot_embedded(L.data, x, L.plan, interpret=True)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    np.testing.assert_allclose(float(d1), float(jnp.vdot(x, y0)), rtol=1e-5)
+
+    s0 = stencil_smooth_embedded(L.data, r, x, L.inv_diag, L.plan,
+                                 interpret=True)
+    s1, rz = stencil_smooth_dot_embedded(L.data, r, x, L.inv_diag, L.plan,
+                                         interpret=True)
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_allclose(float(rz), float(jnp.vdot(r, s0)), rtol=1e-5)
+
+
+def test_vcycle_final_dot_matches():
+    levels, _, _, r = _small_hierarchy()
+    e0 = v_cycle(levels, r, nu1=1, nu2=1, use_pallas=False)
+    e1, rz = v_cycle(levels, r, nu1=1, nu2=1, use_pallas=False,
+                     final_dot=True)
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+    np.testing.assert_allclose(float(rz), float(jnp.vdot(r, e0)), rtol=1e-6)
+
+
+def test_bf16_hierarchy_preconditioner_convergence():
+    """cast_hierarchy(bfloat16) must not cost MG-PCG iterations (the
+    rounded level operators stay symmetric -> still a fixed SPD M)."""
+    from tpufem.solve.multigrid import cast_hierarchy
+    levels, L, xt, _ = _small_hierarchy(n=16)
+    mv = lambda v: stencil_matvec(L.data, L.plan.offsets, v)
+    b = mv(xt)
+    res32 = cg(mv, b, tol=1e-6, maxiter=60,
+               M=mg_preconditioner(levels, nu1=1, nu2=1, use_pallas=False))
+    lev16 = cast_hierarchy(levels, jnp.bfloat16)
+    res16 = cg(mv, b, tol=1e-6, maxiter=60,
+               M=mg_preconditioner(lev16, nu1=1, nu2=1, use_pallas=False))
+    assert bool(res16.converged)
+    assert int(res16.iterations) <= int(res32.iterations) + 2
+
+
+def test_cg_fused_hooks_equivalent():
+    """cg/cg_fixed with matvec_dot/M_dot == the plain formulation."""
+    from tpufem.solve.cg import cg_fixed
+    levels, L, xt, _ = _small_hierarchy(n=16)
+    mv = lambda v: stencil_matvec(L.data, L.plan.offsets, v)
+    b = mv(xt)
+    M = mg_preconditioner(levels, nu1=1, nu2=1, use_pallas=False)
+    Md = mg_preconditioner(levels, nu1=1, nu2=1, use_pallas=False,
+                           with_dot=True)
+    mvd = lambda p: (mv(p), jnp.vdot(p, mv(p)))
+    res0 = cg(mv, b, tol=1e-6, maxiter=60, M=M)
+    res1 = cg(mv, b, tol=1e-6, maxiter=60, matvec_dot=mvd, M_dot=Md)
+    assert int(res0.iterations) == int(res1.iterations)
+    np.testing.assert_array_equal(np.asarray(res0.x), np.asarray(res1.x))
+    x0, _ = cg_fixed(mv, b, 8, M=M)
+    x1, _ = cg_fixed(mv, b, 8, matvec_dot=mvd, M_dot=Md)
+    np.testing.assert_array_equal(np.asarray(x0), np.asarray(x1))

@@ -1,0 +1,184 @@
+"""Distributed ELL CG: unstructured meshes sharded across the device mesh.
+
+Completes the distributed-format matrix: the stencil path (tpufem.dist.cg)
+covers structured grids; this covers general banded ELL systems — the
+storage the reference's most complete variant assembles
+(/root/reference/fea_test_sm_sym_sparse2.cu:273-282), renumbered with
+reverse Cuthill-McKee so the coupling is local.
+
+Partitioning: contiguous row stripes (after RCM the stripes are physical
+mesh bands).  A matvec needs x values at most ``halo`` rows beyond the
+stripe on each side, where halo = max over entries of the distance a column
+reaches past its row's stripe — bounded by the RCM bandwidth, independent
+of problem size, so one ``ppermute`` per direction per matvec is the whole
+communication (the SURVEY §2.4 halo-exchange design, same as the stencil
+path).  Column indices are rewritten shard-locally at partition time; the
+in-shard matvec is the plain ELL gather-multiply (on real chips the banded
+Pallas kernel of tpufem.sparse.ell_pallas is the single-shard analogue).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpufem.dist.stencil import halo_exchange
+from tpufem.solve.cg import CGResult
+
+__all__ = ["ELLPartition", "ell_partition", "sharded_ell_matvec",
+           "ell_cg_sharded", "distributed_ell_solve"]
+
+
+class ELLPartition(NamedTuple):
+    """Row-stripe partition of an ELL matrix for ``num_shards`` devices."""
+    data: np.ndarray        # [NP, K] values (identity padding rows)
+    rel: np.ndarray         # [NP, K] int32 halo-local column indices
+    inv_diag: np.ndarray    # [NP] 1/diag (1.0 on padding rows)
+    halo: int               # rows exchanged per side per matvec
+    n: int                  # original rows
+    local_rows: int         # NP / num_shards
+    num_shards: int
+
+
+def ell_partition(data, cols, num_shards: int, *,
+                  min_halo: int = 1) -> ELLPartition:
+    """Partition an ELL matrix (data [N, K], cols [N, K]) into row stripes.
+
+    Pads to a multiple of ``num_shards`` with identity rows (diag 1 — CG
+    trajectory of the original system is preserved exactly), computes the
+    halo each stripe needs, and rewrites every column index relative to
+    (stripe_start - halo), i.e. into the local haloed vector.
+
+    Raises if the halo exceeds the stripe height (single-hop neighbor
+    exchange could not cover the coupling — renumber with
+    tpufem.mesh.adjacency.reverse_cuthill_mckee or use fewer shards).
+    """
+    data = np.asarray(data)
+    cols = np.asarray(cols, np.int64)
+    n, K = data.shape
+    L = -(-n // num_shards)
+    np_rows = L * num_shards
+    if np_rows != n:
+        pad = np_rows - n
+        data = np.pad(data, ((0, pad), (0, 0)))
+        data[n:, 0] = 1.0
+        self_cols = np.arange(n, np_rows, dtype=cols.dtype)[:, None]
+        pad_cols = np.broadcast_to(self_cols, (pad, K)).copy()
+        # slots 1.. of padding rows: self again (value 0, stays in-stripe)
+        cols = np.concatenate([cols, pad_cols])
+
+    rows = np.arange(np_rows)
+    stripe_start = (rows // L) * L
+    reach_left = np.maximum(stripe_start[:, None] - cols, 0).max()
+    reach_right = np.maximum(cols - (stripe_start[:, None] + L - 1), 0).max()
+    halo = max(int(max(reach_left, reach_right)), int(min_halo))
+    if halo > L:
+        raise ValueError(
+            f"halo {halo} exceeds stripe height {L}: single-hop neighbor "
+            "exchange cannot cover the coupling — renumber the mesh "
+            "(reverse_cuthill_mckee) or use fewer shards")
+
+    rel = (cols - (stripe_start[:, None] - halo)).astype(np.int32)
+
+    diag = np.where(cols == rows[:, None], data, 0.0).sum(1)
+    with np.errstate(divide="ignore"):
+        inv_diag = np.where(diag != 0, 1.0 / diag, 1.0).astype(data.dtype)
+
+    return ELLPartition(data=data, rel=rel, inv_diag=inv_diag, halo=halo,
+                        n=n, local_rows=L, num_shards=num_shards)
+
+
+def sharded_ell_matvec(data_l, rel_l, x_local, halo: int, axis_name: str):
+    """Local stripe of y = A x.  data_l/rel_l [L, K], x_local [L]."""
+    left, right = halo_exchange(x_local, halo, axis_name)
+    xp = jnp.concatenate([left, x_local, right])
+    return (data_l * xp[rel_l]).sum(axis=1)
+
+
+def ell_cg_sharded(part: ELLPartition, b, mesh: Mesh, *,
+                   axis_name: str = "rows", tol: float = 1e-8,
+                   maxiter: int = 1000,
+                   diag_precondition: bool = True) -> CGResult:
+    """Jacobi-PCG on the partitioned ELL system, fully inside shard_map.
+
+    ``b`` [NP] (padded, sharded or replicated — device_put with a
+    P(axis_name) sharding first for zero relayout).  Every inner product is
+    a local dot + psum; state stays sharded for the whole solve.
+    """
+    halo = part.halo
+    tol = float(tol)
+    data = jnp.asarray(part.data)
+    rel = jnp.asarray(part.rel)
+    invd = jnp.asarray(part.inv_diag)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name, None), P(axis_name),
+                  P(axis_name)),
+        out_specs=(P(axis_name), P(), P(), P(), P()))
+    def run(data_l, rel_l, invd_l, b_l):
+        def matvec(v):
+            return sharded_ell_matvec(data_l, rel_l, v, halo, axis_name)
+
+        def pdot(a, c):
+            return jax.lax.psum(jnp.vdot(a, c), axis_name)
+
+        prec = (lambda r: r * invd_l) if diag_precondition else (lambda r: r)
+
+        b_norm2 = pdot(b_l, b_l)
+        safe_b = jnp.where(b_norm2 > 0, b_norm2, 1.0)
+        atol2 = (tol ** 2) * safe_b
+
+        r0 = b_l
+        z0 = prec(r0)
+        rz0 = pdot(r0, z0)
+
+        def not_done(state):
+            _, _, _, _, rz, rr, k, bad = state
+            return (rr > atol2) & (k < maxiter) & (~bad)
+
+        def step(state):
+            x, r, z, p, rz, rr, k, bad = state
+            Ap = matvec(p)
+            pAp = pdot(p, Ap)
+            alpha = rz / pAp
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = prec(r)
+            rz_new = pdot(r, z)
+            rr_new = pdot(r, r)
+            p = z + (rz_new / rz) * p
+            bad = (~jnp.isfinite(rz_new)) | (~jnp.isfinite(pAp)) | (pAp <= 0)
+            return (x, r, z, p, rz_new, rr_new, k + 1, bad)
+
+        init = (jnp.zeros_like(b_l), r0, z0, z0, rz0, b_norm2,
+                jnp.int32(0), jnp.asarray(False))
+        x, r, _, _, _, rr, k, bad = jax.lax.while_loop(not_done, step, init)
+        relres = jnp.sqrt(rr / safe_b)
+        converged = (rr <= atol2) & (~bad)
+        return x, k, relres, converged, bad
+
+    x, k, relres, converged, bad = run(data, rel, invd, b)
+    return CGResult(x=x, iterations=k, residual_norm=relres,
+                    converged=converged, diverged=bad)
+
+
+def distributed_ell_solve(data, cols, b, mesh: Mesh, *,
+                          axis_name: str = "rows", tol: float = 1e-8,
+                          maxiter: int = 1000):
+    """Convenience wrapper: partition an (assembled, BC-applied) ELL system
+    over ``mesh``, shard it, CG-solve.  Returns (x [original rows], result).
+    """
+    num = mesh.shape[axis_name]
+    part = ell_partition(np.asarray(data), np.asarray(cols), num)
+    shard = NamedSharding(mesh, P(axis_name))
+    b_p = np.pad(np.asarray(b), (0, part.data.shape[0] - part.n))
+    b_dev = jax.device_put(jnp.asarray(b_p), shard)
+    res = ell_cg_sharded(part, b_dev, mesh, axis_name=axis_name, tol=tol,
+                         maxiter=maxiter)
+    return res.x[:part.n], res

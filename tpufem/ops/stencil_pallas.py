@@ -41,7 +41,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["stencil_matvec_embedded", "stencil_residual_embedded",
-           "stencil_smooth_embedded", "pick_block_lead"]
+           "stencil_smooth_embedded", "stencil_matvec_dot_embedded",
+           "stencil_smooth_dot_embedded", "pick_block_lead"]
 
 
 from tpufem.utils.pallas_ctx import trace_ctx as _trace_ctx
@@ -100,6 +101,47 @@ def _kernel_smooth(data_ref, xm_ref, x0_ref, xp_ref, r_ref, invd_ref, y_ref,
     y_ref[...] = x0_ref[...] + omega * invd_ref[...] * (r_ref[...] - ax)
 
 
+def _kernel_matvec_dot(data_ref, xm_ref, x0_ref, xp_ref, y_ref, dot_ref, *,
+                       offsets_grid, block_lead):
+    """y = A x plus the CG dot <x, A x>, accumulated across grid blocks.
+
+    Saves the separate full-field pass jnp.vdot(p, Ap) costs after an opaque
+    pallas matvec (XLA cannot fuse into the kernel's output).
+    """
+    ax = _apply_stencil(data_ref, xm_ref, x0_ref, xp_ref, offsets_grid,
+                        block_lead)
+    y_ref[...] = ax
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dot_ref[0, 0] = jnp.zeros((), dot_ref.dtype)
+
+    part = jnp.sum(x0_ref[...].astype(dot_ref.dtype)
+                   * ax.astype(dot_ref.dtype))
+    dot_ref[0, 0] += part
+
+
+def _kernel_smooth_dot(data_ref, xm_ref, x0_ref, xp_ref, r_ref, invd_ref,
+                       y_ref, dot_ref, *, offsets_grid, block_lead, omega):
+    """Fused Jacobi sweep plus the PCG dot <r, y> (y being the sweep output).
+
+    The final fine-level smooth of a V-cycle produces the preconditioned
+    residual z; PCG immediately needs <r, z> — accumulating it here removes
+    one full read of (r, z) per iteration.
+    """
+    ax = _apply_stencil(data_ref, xm_ref, x0_ref, xp_ref, offsets_grid,
+                        block_lead)
+    y = x0_ref[...] + omega * invd_ref[...] * (r_ref[...] - ax)
+    y_ref[...] = y
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dot_ref[0, 0] = jnp.zeros((), dot_ref.dtype)
+
+    dot_ref[0, 0] += jnp.sum(r_ref[...].astype(dot_ref.dtype)
+                             * y.astype(dot_ref.dtype))
+
+
 def pick_block_lead(store_grid, width, dtype_bytes=4,
                     vmem_budget=5 << 20) -> int:
     """Largest leading-axis block that divides the grid and fits VMEM
@@ -120,8 +162,17 @@ def pick_block_lead(store_grid, width, dtype_bytes=4,
 
 
 def _stencil_call(kern_fn, data, x, extras, plan, block_lead, interpret,
-                  **kern_kwargs):
-    """Shared driver: stencil kernel over (data, 3x x halo blocks, *extras)."""
+                  with_dot=False, **kern_kwargs):
+    """Shared driver: stencil kernel over (data, 3x x halo blocks, *extras).
+
+    ``data`` may be a lower precision than ``x`` (e.g. bfloat16 coefficient
+    planes with float32 vectors — the mixed-precision V-cycle): products
+    promote in-register, vectors and outputs stay at x.dtype, and the
+    dominant K-plane coefficient traffic is halved.
+
+    ``with_dot=True`` adds a scalar output accumulated across grid blocks
+    (kern_fn decides what it dots); returns (y, dot).
+    """
     if not plan.embedded:
         raise ValueError("plan must be built with structured_plan(embed=True)")
     sg = plan.store_grid
@@ -130,7 +181,7 @@ def _stencil_call(kern_fn, data, x, extras, plan, block_lead, interpret,
     offsets_grid = plan.offsets_grid
 
     if block_lead is None:
-        block_lead = pick_block_lead(sg, K, np.dtype(data.dtype).itemsize)
+        block_lead = pick_block_lead(sg, K, np.dtype(x.dtype).itemsize)
     if sg[0] % block_lead:
         raise ValueError(f"leading dim {sg[0]} not divisible by block "
                          f"{block_lead}")
@@ -162,18 +213,28 @@ def _stencil_call(kern_fn, data, x, extras, plan, block_lead, interpret,
         pl.BlockSpec(xblock, xmap_next, memory_space=pltpu.VMEM),
     ] + [pl.BlockSpec(xblock, xmap_cur, memory_space=pltpu.VMEM)
          for _ in extras_g]
+    out_specs = pl.BlockSpec(xblock, xmap_cur, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct(sg, x.dtype)
+    if with_dot:
+        # constant index map: the (1,1) SMEM block persists across the
+        # sequential TPU grid, so += accumulates the global reduction
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                  memory_space=pltpu.SMEM))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), x.dtype))
     # x64 must be off while tracing the kernel + index maps: i64 grid
     # indices send Mosaic's convert lowering into infinite recursion
-    with _trace_ctx(data.dtype):
+    with _trace_ctx(x.dtype):
         y = pl.pallas_call(
             kern,
             grid=(nblk,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec(xblock, xmap_cur,
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct(sg, data.dtype),
+            out_specs=out_specs,
+            out_shape=out_shape,
             interpret=interpret,
         )(data_g, x_g, x_g, x_g, *extras_g)
+    if with_dot:
+        return y[0].reshape(-1), y[1][0, 0]
     return y.reshape(-1)
 
 
@@ -202,3 +263,21 @@ def stencil_smooth_embedded(data, r, x, inv_diag, plan, *,
     """x + omega * inv_diag * (r - A x): one fused weighted-Jacobi sweep."""
     return _stencil_call(_kernel_smooth, data, x, [r, inv_diag], plan,
                          block_lead, interpret, omega=omega)
+
+
+def stencil_matvec_dot_embedded(data, x, plan, *,
+                                block_lead: int | None = None,
+                                interpret: bool = False):
+    """(A x, <x, A x>) in one pass — the PCG alpha-dot fused into the SpMV."""
+    return _stencil_call(_kernel_matvec_dot, data, x, [], plan, block_lead,
+                         interpret, with_dot=True)
+
+
+def stencil_smooth_dot_embedded(data, r, x, inv_diag, plan, *,
+                                omega: float = 0.8,
+                                block_lead: int | None = None,
+                                interpret: bool = False):
+    """(y, <r, y>) with y the fused Jacobi sweep — the PCG rz-dot fused into
+    the V-cycle's final fine-level smooth."""
+    return _stencil_call(_kernel_smooth_dot, data, x, [r, inv_diag], plan,
+                         block_lead, interpret, with_dot=True, omega=omega)

@@ -30,7 +30,8 @@ class CGResult(NamedTuple):
 
 def cg(matvec: Callable, b, x0=None, *, tol: float = 1e-8,
        maxiter: int = 1000, M: Optional[Callable] = None,
-       check_every: int = 1) -> CGResult:
+       check_every: int = 1, matvec_dot: Optional[Callable] = None,
+       M_dot: Optional[Callable] = None) -> CGResult:
     """Solve A x = b with (preconditioned) CG.
 
     matvec: x -> A x (A symmetric positive definite).
@@ -42,10 +43,21 @@ def cg(matvec: Callable, b, x0=None, *, tol: float = 1e-8,
     check recovers most of the fixed-iteration loop's pipelining at the
     price of up to k-1 extra iterations past the tolerance.
 
+    ``matvec_dot`` / ``M_dot``: optional fused ``p -> (A p, <p, A p>)`` and
+    ``r -> (M^-1 r, <r, M^-1 r>)`` — see :func:`cg_fixed`.
+
     Supports warm restart: pass ``x0`` (e.g. a checkpointed iterate).
     """
     if M is None:
         M = lambda r: r
+    if matvec_dot is None:
+        def matvec_dot(p):
+            Ap = matvec(p)
+            return Ap, jnp.vdot(p, Ap)
+    if M_dot is None:
+        def M_dot(r):
+            z = M(r)
+            return z, jnp.vdot(r, z)
     check_every = max(1, int(check_every))
 
     x0 = jnp.zeros_like(b) if x0 is None else x0
@@ -55,9 +67,8 @@ def cg(matvec: Callable, b, x0=None, *, tol: float = 1e-8,
     atol = tol * safe_b_norm
 
     r0 = b - matvec(x0)
-    z0 = M(r0)
+    z0, rz0 = M_dot(r0)
     p0 = z0
-    rz0 = jnp.vdot(r0, z0)
 
     def not_done(state):
         _, r, _, _, rz, k, bad = state
@@ -66,13 +77,11 @@ def cg(matvec: Callable, b, x0=None, *, tol: float = 1e-8,
 
     def step(state):
         x, r, z, p, rz, k, bad = state
-        Ap = matvec(p)
-        pAp = jnp.vdot(p, Ap)
+        Ap, pAp = matvec_dot(p)
         alpha = rz / pAp
         x = x + alpha * p
         r = r - alpha * Ap
-        z = M(r)
-        rz_new = jnp.vdot(r, z)
+        z, rz_new = M_dot(r)
         beta = rz_new / rz
         p = z + beta * p
         bad = ~jnp.isfinite(rz_new) | ~jnp.isfinite(pAp) | (pAp <= 0)
@@ -109,7 +118,8 @@ def cg(matvec: Callable, b, x0=None, *, tol: float = 1e-8,
 
 
 def cg_fixed(matvec: Callable, b, iters, *, M: Optional[Callable] = None,
-             x0=None):
+             x0=None, matvec_dot: Optional[Callable] = None,
+             M_dot: Optional[Callable] = None):
     """Fixed-iteration PCG (lax.fori_loop): no convergence checks.
 
     The guard-free variant of :func:`cg` — the right inner kernel when the
@@ -119,23 +129,35 @@ def cg_fixed(matvec: Callable, b, iters, *, M: Optional[Callable] = None,
     pipeline iterations back-to-back.  Pass ``iters`` as ``jnp.int32`` so
     changing the count never recompiles.
 
+    ``matvec_dot``: optional fused ``p -> (A p, <p, A p>)`` (e.g.
+    ops.stencil_pallas.stencil_matvec_dot_embedded) — saves the separate
+    full-field pass a vdot after an opaque kernel costs.  ``M_dot``:
+    optional fused ``r -> (M^-1 r, <r, M^-1 r>)`` (e.g. a V-cycle with
+    final_dot=True).
+
     Returns ``(x, r)``: the iterate and its (unpreconditioned) residual.
     """
     if M is None:
         M = lambda r: r
+    if matvec_dot is None:
+        def matvec_dot(p):
+            Ap = matvec(p)
+            return Ap, jnp.vdot(p, Ap)
+    if M_dot is None:
+        def M_dot(r):
+            z = M(r)
+            return z, jnp.vdot(r, z)
     x0 = jnp.zeros_like(b) if x0 is None else x0
     r0 = b - matvec(x0)
-    z0 = M(r0)
-    rz0 = jnp.vdot(r0, z0)
+    z0, rz0 = M_dot(r0)
 
     def body(i, state):
         x, r, z, p, rz = state
-        Ap = matvec(p)
-        alpha = rz / jnp.vdot(p, Ap)
+        Ap, pAp = matvec_dot(p)
+        alpha = rz / pAp
         x = x + alpha * p
         r = r - alpha * Ap
-        z = M(r)
-        rz_new = jnp.vdot(r, z)
+        z, rz_new = M_dot(r)
         p = z + (rz_new / rz) * p
         return (x, r, z, p, rz_new)
 

@@ -36,11 +36,12 @@ from tpufem.assemble.structured import StructuredPlan, structured_plan
 from tpufem.ops.stencil_pallas import (pick_block_lead,
                                         stencil_matvec_embedded,
                                         stencil_residual_embedded,
+                                        stencil_smooth_dot_embedded,
                                         stencil_smooth_embedded)
 from tpufem.sparse.stencil import stencil_matvec
 
 __all__ = ["prolong", "restrict", "MGLevel", "build_poisson_multigrid",
-           "v_cycle", "mg_preconditioner"]
+           "cast_hierarchy", "v_cycle", "mg_preconditioner"]
 
 
 # -- transfer operators on plain node grids ---------------------------------
@@ -374,6 +375,26 @@ def build_poisson_multigrid(domain, n_cells: int, dim: int, *,
     return out
 
 
+def cast_hierarchy(levels: List[MGLevel], dtype) -> List[MGLevel]:
+    """Hierarchy copy with coefficient planes (data, inv_diag) cast to
+    ``dtype`` — typically bfloat16.
+
+    The V-cycle is then a *fixed linear* operator built from the rounded
+    (still symmetric) level matrices, so MG-PCG theory is intact; products
+    against the float32 vectors promote in-register and only the dominant
+    K-plane coefficient traffic halves.  The coarsest dense inverse keeps
+    its dtype (no traffic to save).  Use for the preconditioner only — the
+    CG matvec must keep full-precision data for true residuals.
+    """
+    return [MGLevel(plan=l.plan,
+                    data=l.data.astype(dtype),
+                    inv_diag=l.inv_diag.astype(dtype),
+                    bc_mask=l.bc_mask,
+                    block_lead=l.block_lead,
+                    coarse_inverse=l.coarse_inverse)
+            for l in levels]
+
+
 def _store_to_node_map(plan: StructuredPlan) -> np.ndarray:
     """[num_store_rows] -> node index, -1 on border/padding positions."""
     sg, ng = plan.store_grid, plan.info.node_grid
@@ -400,10 +421,18 @@ def _store(level: MGLevel, x_grid):
 
 
 def v_cycle(levels: List[MGLevel], r, *, li: int = 0, nu1: int = 2,
-            nu2: int = 2, omega: float = 0.8, use_pallas: bool = True):
-    """One V-cycle for A e = r on level li (embedded vectors). Returns e."""
+            nu2: int = 2, omega: float = 0.8, use_pallas: bool = True,
+            final_dot: bool = False):
+    """One V-cycle for A e = r on level li (embedded vectors). Returns e.
+
+    ``final_dot=True`` (needs nu2 >= 1, top level only): the last fine-level
+    smooth runs the fused dot kernel and the cycle returns ``(e, <r, e>)`` —
+    exactly the rz product PCG needs next, saving one full (r, z) read.
+    """
     level = levels[li]
     dim = len(level.plan.info.node_grid)
+    if final_dot and (li != 0 or nu2 < 1 or li == len(levels) - 1):
+        raise ValueError("final_dot needs the top level and nu2 >= 1")
 
     if li == len(levels) - 1:
         if level.coarse_inverse is not None:
@@ -432,17 +461,28 @@ def v_cycle(levels: List[MGLevel], r, *, li: int = 0, nu1: int = 2,
     ef_grid = prolong(_grid(levels[li + 1], ec), dim)
     e = e + _store(level, ef_grid)
 
-    for _ in range(nu2):
+    for _ in range(nu2 - (1 if final_dot else 0)):
         e = _smooth(level, r, e, omega, use_pallas)
+    if final_dot:
+        if use_pallas:
+            return stencil_smooth_dot_embedded(
+                level.data, r, e, level.inv_diag, level.plan, omega=omega,
+                block_lead=level.block_lead)
+        e = _smooth(level, r, e, omega, use_pallas)
+        return e, jnp.vdot(r, e)
     return e
 
 
 def mg_preconditioner(levels: List[MGLevel], *, nu1: int = 2, nu2: int = 2,
-                      omega: float = 0.8, use_pallas: bool = True) -> Callable:
-    """M^-1 r = one V-cycle — SPD, usable directly in tpufem.solve.cg."""
+                      omega: float = 0.8, use_pallas: bool = True,
+                      with_dot: bool = False) -> Callable:
+    """M^-1 r = one V-cycle — SPD, usable directly in tpufem.solve.cg.
+
+    ``with_dot=True`` returns an ``M_dot`` for cg/cg_fixed: apply(r) ->
+    (z, <r, z>) with the rz product fused into the final smoother pass."""
 
     def apply(r):
         return v_cycle(levels, r, nu1=nu1, nu2=nu2, omega=omega,
-                       use_pallas=use_pallas)
+                       use_pallas=use_pallas, final_dot=with_dot)
 
     return apply

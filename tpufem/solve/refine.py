@@ -86,13 +86,17 @@ def iterative_refinement(matvec_hi: Callable, inner_solve: Callable, b, *,
 def refined_stencil_solve(data32, data64, offsets, b, precond, *,
                           tol: float = 1e-8, inner_iters: int = 10,
                           max_outer: int = 8,
-                          matvec32: Callable | None = None) -> RefinedResult:
+                          matvec32: Callable | None = None,
+                          matvec_dot32: Callable | None = None,
+                          M_dot: Callable | None = None) -> RefinedResult:
     """Refinement specialized to embedded stencil systems.
 
     data32/data64: stencil values [K, NS] in fp32 (inner) / fp64 (residual).
     precond:       fp32 preconditioner (e.g. the MG V-cycle).
     matvec32:      optional fast fp32 matvec (e.g. the Pallas kernel);
                    defaults to the XLA shifted-add path.
+    matvec_dot32 / M_dot: optional fused-dot hooks for the inner cg_fixed
+                   (see tpufem.solve.cg).
 
     The fp64 matvec always uses the XLA path — Mosaic has no f64, and two
     shifted-add passes per outer step are a rounding error next to the inner
@@ -110,7 +114,8 @@ def refined_stencil_solve(data32, data64, offsets, b, precond, *,
         return stencil_matvec(data64, offsets, v)
 
     def inner(r32):
-        x, _ = cg_fixed(matvec32, r32, jnp.int32(inner_iters), M=precond)
+        x, _ = cg_fixed(matvec32, r32, jnp.int32(inner_iters), M=precond,
+                        matvec_dot=matvec_dot32, M_dot=M_dot)
         return x
 
     return iterative_refinement(matvec_hi, inner, b, tol=tol,
