@@ -207,3 +207,36 @@ def test_distributed_ell_solve_unstructured(cpu_devices):
     x = np.empty(mesh2.num_nodes)
     x[perm] = np.asarray(x_p)
     np.testing.assert_allclose(x, np.asarray(ref.x), rtol=0, atol=1e-7)
+
+
+def test_distributed_bcsr_solve_elasticity(cpu_devices):
+    """2D elasticity BCSR system sharded over 8 devices == single-device
+    block-Jacobi PCG (the vector-block counterpart of the ELL test)."""
+    from tpufem.dist.ell import distributed_bcsr_solve
+    from tpufem.fem.space import VectorFunctionSpace
+    from tpufem.mesh.adjacency import ell_pattern
+    from tpufem.solve.bc import apply_dirichlet_stencil  # noqa: F401
+    from tpufem.solve.elasticity import elasticity_forms
+    from tpufem.solve.precond import block_jacobi
+    from tpufem.sparse.bcsr import apply_dirichlet_bcsr, assemble_bcsr
+    from tpufem.assemble.dense import assemble_vector
+
+    mesh2 = rectangle_mesh(0.0, 1.0, 0.0, 1.0, 12, 12)
+    V = VectorFunctionSpace(mesh2, degree=1)
+    f = lambda x: jnp.stack([jnp.sin(x[..., 0]), x[..., 1] ** 2], axis=-1)
+    wf = elasticity_forms(V, 1.2, 0.7, f)
+    ecoords = jnp.asarray(mesh2.element_coords())
+    Ke = wf.element_matrices(ecoords)
+    pattern = ell_pattern(V.scalar_dof_conn, V.num_scalar_dofs, pad_to=8)
+    A = assemble_bcsr(pattern, Ke, block_size=2)
+    b = assemble_vector(V.dof_conn, wf.element_vectors(ecoords), V.num_dofs)
+    A, b = apply_dirichlet_bcsr(A, b, jnp.asarray(V.dof_flags))
+
+    dmesh = Mesh(np.array(cpu_devices[:8]), ("rows",))
+    x, res = distributed_bcsr_solve(A, b, dmesh, tol=1e-11, maxiter=4000)
+    assert bool(res.converged)
+
+    ref = cg(A.matvec, b, tol=1e-11, maxiter=4000,
+             M=block_jacobi(A.diagonal_blocks()))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
+                               rtol=0, atol=1e-8)

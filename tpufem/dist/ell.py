@@ -31,7 +31,9 @@ from tpufem.dist.stencil import halo_exchange
 from tpufem.solve.cg import CGResult
 
 __all__ = ["ELLPartition", "ell_partition", "sharded_ell_matvec",
-           "ell_cg_sharded", "distributed_ell_solve"]
+           "ell_cg_sharded", "distributed_ell_solve",
+           "BCSRPartition", "bcsr_partition", "sharded_bcsr_matvec",
+           "bcsr_cg_sharded", "distributed_bcsr_solve"]
 
 
 class ELLPartition(NamedTuple):
@@ -182,3 +184,155 @@ def distributed_ell_solve(data, cols, b, mesh: Mesh, *,
     res = ell_cg_sharded(part, b_dev, mesh, axis_name=axis_name, tol=tol,
                          maxiter=maxiter)
     return res.x[:part.n], res
+
+
+# -- BCSR (vector-block) variant ----------------------------------------------
+
+class BCSRPartition(NamedTuple):
+    """Node-row-stripe partition of a BCSR matrix (elasticity etc.)."""
+    data: np.ndarray          # [NP, K, b, b] (identity-block padding rows)
+    rel: np.ndarray           # [NP, K] int32 halo-local node indices
+    inv_diag: np.ndarray      # [NP, b, b] inverted diagonal blocks
+    halo: int
+    n: int                    # original node rows
+    local_rows: int
+    num_shards: int
+    block_size: int
+
+
+def bcsr_partition(data, cols, num_shards: int, *,
+                   min_halo: int = 1) -> BCSRPartition:
+    """Partition a BCSR matrix (data [N, K, b, b], cols [N, K]) into node
+    -row stripes; see :func:`ell_partition` — same halo/column rewrite on
+    the node pattern, block-Jacobi diagonal inverted at partition time."""
+    data = np.asarray(data)
+    cols = np.asarray(cols, np.int64)
+    n, K, bs, _ = data.shape
+    L = -(-n // num_shards)
+    np_rows = L * num_shards
+    if np_rows != n:
+        pad = np_rows - n
+        data = np.pad(data, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        data[n:, 0] = np.eye(bs, dtype=data.dtype)
+        self_cols = np.arange(n, np_rows, dtype=cols.dtype)[:, None]
+        cols = np.concatenate(
+            [cols, np.broadcast_to(self_cols, (pad, K)).copy()])
+
+    rows = np.arange(np_rows)
+    stripe_start = (rows // L) * L
+    reach_left = np.maximum(stripe_start[:, None] - cols, 0).max()
+    reach_right = np.maximum(cols - (stripe_start[:, None] + L - 1), 0).max()
+    halo = max(int(max(reach_left, reach_right)), int(min_halo))
+    if halo > L:
+        raise ValueError(
+            f"halo {halo} exceeds stripe height {L}: renumber the mesh "
+            "(reverse_cuthill_mckee) or use fewer shards")
+    rel = (cols - (stripe_start[:, None] - halo)).astype(np.int32)
+
+    diag = np.where((cols == rows[:, None])[:, :, None, None],
+                    data, 0.0).sum(1)                       # [NP, b, b]
+    # guard all-zero diagonals (shouldn't occur after BC application)
+    sing = np.abs(np.linalg.det(diag)) < 1e-300
+    diag[sing] = np.eye(bs, dtype=data.dtype)
+    inv_diag = np.linalg.inv(diag).astype(data.dtype)
+
+    return BCSRPartition(data=data, rel=rel, inv_diag=inv_diag, halo=halo,
+                         n=n, local_rows=L, num_shards=num_shards,
+                         block_size=bs)
+
+
+def sharded_bcsr_matvec(data_l, rel_l, x_local, halo: int, axis_name: str):
+    """Local stripe of y = A x.  data_l [L, K, b, b], x_local [L*b]
+    (node-major, component-minor)."""
+    L, _, bs, _ = data_l.shape
+    xb = x_local.reshape(L, bs)
+    left, right = halo_exchange(xb, halo, axis_name)
+    xp = jnp.concatenate([left, xb, right], axis=0)
+    gathered = xp[rel_l]                                   # [L, K, b]
+    y = (data_l * gathered[:, :, None, :]).sum(axis=(1, 3))
+    return y.reshape(-1)
+
+
+def bcsr_cg_sharded(part: BCSRPartition, b, mesh: Mesh, *,
+                    axis_name: str = "rows", tol: float = 1e-8,
+                    maxiter: int = 1000) -> CGResult:
+    """Block-Jacobi PCG on the partitioned BCSR system inside shard_map.
+
+    ``b`` [NP*b] (padded, node-major comp-minor)."""
+    halo = part.halo
+    bs = part.block_size
+    tol = float(tol)
+    data = jnp.asarray(part.data)
+    rel = jnp.asarray(part.rel)
+    invd = jnp.asarray(part.inv_diag)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis_name, None, None, None), P(axis_name, None),
+                  P(axis_name, None, None), P(axis_name)),
+        out_specs=(P(axis_name), P(), P(), P(), P()))
+    def run(data_l, rel_l, invd_l, b_l):
+        def matvec(v):
+            return sharded_bcsr_matvec(data_l, rel_l, v, halo, axis_name)
+
+        def pdot(a, c):
+            return jax.lax.psum(jnp.vdot(a, c), axis_name)
+
+        def prec(r):
+            rb = r.reshape(-1, bs)
+            return jnp.einsum("nij,nj->ni", invd_l, rb).reshape(-1)
+
+        b_norm2 = pdot(b_l, b_l)
+        safe_b = jnp.where(b_norm2 > 0, b_norm2, 1.0)
+        atol2 = (tol ** 2) * safe_b
+
+        r0 = b_l
+        z0 = prec(r0)
+        rz0 = pdot(r0, z0)
+
+        def not_done(state):
+            _, _, _, _, rz, rr, k, bad = state
+            return (rr > atol2) & (k < maxiter) & (~bad)
+
+        def step(state):
+            x, r, z, p, rz, rr, k, bad = state
+            Ap = matvec(p)
+            pAp = pdot(p, Ap)
+            alpha = rz / pAp
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = prec(r)
+            rz_new = pdot(r, z)
+            rr_new = pdot(r, r)
+            p = z + (rz_new / rz) * p
+            bad = (~jnp.isfinite(rz_new)) | (~jnp.isfinite(pAp)) | (pAp <= 0)
+            return (x, r, z, p, rz_new, rr_new, k + 1, bad)
+
+        init = (jnp.zeros_like(b_l), r0, z0, z0, rz0, b_norm2,
+                jnp.int32(0), jnp.asarray(False))
+        x, r, _, _, _, rr, k, bad = jax.lax.while_loop(not_done, step, init)
+        relres = jnp.sqrt(rr / safe_b)
+        converged = (rr <= atol2) & (~bad)
+        return x, k, relres, converged, bad
+
+    x, k, relres, converged, bad = run(data, rel, invd, b)
+    return CGResult(x=x, iterations=k, residual_norm=relres,
+                    converged=converged, diverged=bad)
+
+
+def distributed_bcsr_solve(A, b, mesh: Mesh, *, axis_name: str = "rows",
+                           tol: float = 1e-8, maxiter: int = 1000):
+    """Partition a (BC-applied) BCSRMatrix system over ``mesh`` and solve.
+
+    Returns (x [original dofs], CGResult).  RCM-order the node numbering
+    first for narrow halos (tpufem.mesh.adjacency.reverse_cuthill_mckee).
+    """
+    num = mesh.shape[axis_name]
+    part = bcsr_partition(np.asarray(A.data), np.asarray(A.cols), num)
+    bs = part.block_size
+    b_p = np.pad(np.asarray(b), (0, (part.data.shape[0] - part.n) * bs))
+    b_dev = jax.device_put(
+        jnp.asarray(b_p), NamedSharding(mesh, P(axis_name)))
+    res = bcsr_cg_sharded(part, b_dev, mesh, axis_name=axis_name, tol=tol,
+                          maxiter=maxiter)
+    return res.x[:part.n * bs], res
