@@ -16,8 +16,9 @@ import dataclasses
 
 import numpy as np
 
-__all__ = ["ReferenceElement", "P1Triangle", "P1Tetrahedron", "P2Triangle",
-           "P2Tetrahedron", "element_for_cell"]
+__all__ = ["ReferenceElement", "P1Segment", "P2Segment", "P1Triangle",
+           "P1Tetrahedron", "P2Triangle", "P2Tetrahedron",
+           "element_for_cell"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -35,6 +36,41 @@ class ReferenceElement:
     def shape_grads(self, points: np.ndarray) -> np.ndarray:
         """d phi_n / d(ref coords) at q -> [Q, num_nodes, dim]."""
         raise NotImplementedError
+
+
+class P1Segment(ReferenceElement):
+    """Linear segment [0, 1] — the facet element of 2D meshes (boundary
+    integrals, Neumann/Robin terms).  DOF order: endpoints (0, 1)."""
+
+    def __init__(self):
+        super().__init__("P1", "segment", 1, 2, 1)
+
+    def shape_values(self, points):
+        x = points[:, 0]
+        return np.stack([1.0 - x, x], axis=1)
+
+    def shape_grads(self, points):
+        q = points.shape[0]
+        g = np.array([[-1.0], [1.0]])
+        return np.broadcast_to(g, (q, 2, 1)).copy()
+
+
+class P2Segment(ReferenceElement):
+    """Quadratic segment: endpoints + midpoint (matching the trace of
+    P2Triangle/P2Tetrahedron on a boundary edge).  DOF order: (0, 1, mid)."""
+
+    def __init__(self):
+        super().__init__("P2", "segment", 1, 3, 2)
+
+    def shape_values(self, points):
+        x = points[:, 0]
+        return np.stack([(1 - x) * (1 - 2 * x), x * (2 * x - 1),
+                         4 * x * (1 - x)], axis=1)
+
+    def shape_grads(self, points):
+        x = points[:, 0]
+        return np.stack([4 * x - 3, 4 * x - 1, 4 - 8 * x],
+                        axis=1)[:, :, None]
 
 
 class P1Triangle(ReferenceElement):
@@ -142,6 +178,8 @@ class P2Tetrahedron(ReferenceElement):
 
 def element_for_cell(cell_type: str, degree: int = 1) -> ReferenceElement:
     table = {
+        ("segment", 1): P1Segment,
+        ("segment", 2): P2Segment,
         ("triangle", 1): P1Triangle,
         ("triangle", 2): P2Triangle,
         ("tetrahedron", 1): P1Tetrahedron,

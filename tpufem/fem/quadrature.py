@@ -25,7 +25,7 @@ import math
 import numpy as np
 
 __all__ = [
-    "QuadratureRule", "triangle_rule", "tetrahedron_rule",
+    "QuadratureRule", "segment_rule", "triangle_rule", "tetrahedron_rule",
     "TRI7_FP32_W", "TRI7_FP32_R", "TRI7_FP32_S", "TRI7_FP32_T",
 ]
 
@@ -80,6 +80,16 @@ def _tri7_exact() -> QuadratureRule:
          [1.0 / 3.0, 1.0 / 3.0]], dtype=np.float64)
     w = np.array([w1, w2, w1, w2, w1, w2, wc], dtype=np.float64)
     return QuadratureRule(points=pts, weights=w, degree=5, cell_type="triangle")
+
+
+def segment_rule(degree: int) -> QuadratureRule:
+    """Gauss-Legendre on [0, 1] (weights sum to 1) — the facet rule of 2D
+    meshes (boundary/Neumann integrals)."""
+    n1 = max(1, (degree + 2) // 2)           # exact to 2*n1 - 1 >= degree
+    x, w = np.polynomial.legendre.leggauss(n1)
+    pts = (0.5 * (x + 1.0))[:, None]
+    return QuadratureRule(points=pts, weights=0.5 * w, degree=2 * n1 - 1,
+                          cell_type="segment")
 
 
 def triangle_rule(degree: int) -> QuadratureRule:
@@ -146,6 +156,8 @@ def tetrahedron_rule(degree: int) -> QuadratureRule:
 
 
 def rule_for_cell(cell_type: str, degree: int) -> QuadratureRule:
+    if cell_type == "segment":
+        return segment_rule(degree)
     if cell_type == "triangle":
         return triangle_rule(degree)
     if cell_type == "tetrahedron":

@@ -24,8 +24,8 @@ import jax.numpy as jnp
 
 __all__ = [
     "Expr", "Constant", "Coefficient", "TrialFunction", "TestFunction",
-    "SpatialCoordinate", "grad", "dot", "inner", "div", "sym", "tr",
-    "Identity", "outer",
+    "SpatialCoordinate", "FacetNormal", "grad", "dot", "inner", "div",
+    "sym", "tr", "Identity", "outer",
 ]
 
 
@@ -182,6 +182,24 @@ def SpatialCoordinate(space_or_mesh):  # noqa: N802 (UFL-style name)
     ``x, y = SpatialCoordinate(V)`` unpacks to component expressions.
     """
     return _Coord()
+
+
+class _Normal(Expr):
+    rank = 1
+
+    def evaluate(self, ctx):
+        n = getattr(ctx, "normal", None)
+        if n is None:
+            raise ValueError(
+                "FacetNormal is only defined in boundary integrals "
+                "(WeakForm.build_boundary / integrate_boundary)")
+        return n
+
+
+def FacetNormal(space_or_mesh):  # noqa: N802 (UFL-style name)
+    """The outward unit normal n on the boundary — valid only inside
+    boundary forms (Neumann/Robin terms, flux functionals)."""
+    return _Normal()
 
 
 class _Grad(Expr):

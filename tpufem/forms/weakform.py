@@ -35,7 +35,8 @@ from tpufem.fem.quadrature import QuadratureRule, rule_for_cell
 from tpufem.fem.space import FunctionSpace
 from tpufem.forms.language import Expr, TestFunction, TrialFunction
 
-__all__ = ["WeakForm", "EvalContext", "Function", "integrate"]
+__all__ = ["WeakForm", "EvalContext", "Function", "integrate",
+           "integrate_boundary"]
 
 
 class EvalContext:
@@ -47,12 +48,13 @@ class EvalContext:
 
     def __init__(self, *, xq, dtype, phi=None, gphys=None, dof_conn=None,
                  trial_value=None, trial_grad=None,
-                 test_value=None, test_grad=None):
+                 test_value=None, test_grad=None, normal=None):
         self.xq = xq                    # [NE, Q, d]
         self.dtype = dtype
         self.phi = phi                  # [Q, ns] scalar shape values
         self.gphys = gphys              # [NE, Qg, ns, d] physical gradients
         self.dof_conn = dof_conn        # [NE, ns] scalar dof connectivity
+        self.normal = normal            # boundary ctx: broadcastable [..., d]
         self._trial_value = trial_value
         self._trial_grad = trial_grad
         self._test_value = test_value
@@ -180,6 +182,10 @@ class WeakForm:
             self.quadrature = rule_for_cell(cell, deg)
         self.lhs_expr: Optional[Expr] = None
         self.rhs_expr: Optional[Expr] = None
+        self.bnd_lhs_expr: Optional[Expr] = None
+        self.bnd_rhs_expr: Optional[Expr] = None
+        self.bnd_quadrature: Optional[QuadratureRule] = None
+        self.bnd_mask = None
 
     # -- user API (parity: WeakForm::build, fea_symbolic.cu:275-317) --------
 
@@ -191,6 +197,28 @@ class WeakForm:
             self.lhs_expr = lhs(u, v)
         if rhs is not None:
             self.rhs_expr = rhs(v)
+        return self
+
+    def build_boundary(self, lhs: Optional[Callable] = None,
+                       rhs: Optional[Callable] = None, *,
+                       where: Optional[Callable] = None) -> "WeakForm":
+        """Add boundary (ds) terms: ``lhs(u, v)`` Robin-type bilinear terms,
+        ``rhs(v)`` Neumann loads / tractions — the surface integrals the
+        reference has no counterpart for (it applies no BCs at all).
+
+        ``where``: optional facet filter, callable on facet-center
+        coordinates [NF, d] -> bool mask, restricting the integral to part
+        of the boundary (e.g. ``lambda x: x[:, 0] > 1 - 1e-9``).
+        Gradients of trial/test functions are not available on facets
+        (FacetNormal, values, and spatial coefficients are).
+        """
+        u = TrialFunction(self.space)
+        v = TestFunction(self.space)
+        if lhs is not None:
+            self.bnd_lhs_expr = lhs(u, v)
+        if rhs is not None:
+            self.bnd_rhs_expr = rhs(v)
+        self.bnd_mask = where
         return self
 
     # -- element kernels (the NVRTC-compiled kernel analogues) --------------
@@ -255,6 +283,94 @@ class WeakForm:
         be = (res * w[None, None, :]).sum(-1)            # [B, NE]
         return (be * adet[None, :]).T
 
+    # -- boundary (facet) kernels --------------------------------------------
+
+    def _facet_setup(self):
+        """Host precompute: facets, scalar facet DOFs, geometry, basis."""
+        import numpy as np
+
+        from tpufem.fem.facets import (BoundaryFacets, boundary_facets,
+                                       facet_dof_conn, facet_geometry)
+
+        space = self.space
+        mesh = space.mesh
+        facets = boundary_facets(mesh)
+        if self.bnd_mask is not None:
+            centers = np.asarray(mesh.coords)[facets.conn].mean(axis=1)
+            keep = np.asarray(self.bnd_mask(centers), bool)
+            facets = BoundaryFacets(facets.conn[keep],
+                                    facets.opposite[keep], facets.cell_type)
+        rule = self.bnd_quadrature
+        if rule is None:
+            rule = rule_for_cell(facets.cell_type,
+                                 min(2 * space.degree + 1, 5))
+        fdofs = facet_dof_conn(space, facets)            # [NF, nfd]
+        xq, detS, normal = facet_geometry(mesh.coords, facets, rule)
+        from tpufem.fem.elements import element_for_cell
+        fel = element_for_cell(facets.cell_type, space.degree)
+        phi_f = fel.shape_values(rule.points)            # [Q, nfd]
+        return facets, fdofs, rule, xq, detS, normal, phi_f
+
+    def _facet_context(self, setup, *, bind_trial, bind_test):
+        _, fdofs, rule, xq, detS, normal, phi_f = setup
+        dt = self.dtype
+        phi = jnp.asarray(phi_f, dt)
+        nc = self.space.num_components
+        if nc == 1:
+            bphi = phi
+        else:
+            ns = phi.shape[1]
+            eye = jnp.eye(nc, dtype=dt)
+            bphi = (phi[:, :, None, None] * eye[None, None]).reshape(
+                phi.shape[0], ns * nc, nc)
+        kw = {}
+        if bind_trial:
+            kw["trial_value"] = jnp.moveaxis(bphi, 1, 0)[:, None, None]
+        if bind_test:
+            kw["test_value"] = jnp.moveaxis(bphi, 1, 0)[None, :, None]
+        ctx = EvalContext(
+            xq=jnp.asarray(xq, dt), dtype=dt, phi=phi,
+            dof_conn=jnp.asarray(fdofs),
+            normal=jnp.asarray(normal, dt)[None, None, :, None, :], **kw)
+        nfd = phi.shape[1] * nc
+        w = jnp.asarray(rule.weights, dt)
+        return ctx, jnp.asarray(detS, dt), w, nfd
+
+    def boundary_element_matrices(self, setup=None):
+        """Kf [NF, nfd, nfd] of the boundary bilinear term (Robin etc.)."""
+        if self.bnd_lhs_expr is None:
+            raise ValueError("build_boundary() a lhs first")
+        setup = setup or self._facet_setup()
+        ctx, detS, w, nfd = self._facet_context(setup, bind_trial=True,
+                                                bind_test=True)
+        res = self.bnd_lhs_expr.evaluate(ctx)
+        nf, q = detS.shape[0], w.shape[0]
+        res = jnp.broadcast_to(res, (nfd, nfd, nf, q))
+        Kf = (res * w[None, None, None, :]).sum(-1)
+        return (Kf * detS[None, None, :]).transpose(2, 1, 0)
+
+    def boundary_element_vectors(self, setup=None):
+        """bf [NF, nfd] of the boundary load (Neumann flux / traction)."""
+        if self.bnd_rhs_expr is None:
+            raise ValueError("build_boundary() a rhs first")
+        setup = setup or self._facet_setup()
+        ctx, detS, w, nfd = self._facet_context(setup, bind_trial=False,
+                                                bind_test=True)
+        res = self.bnd_rhs_expr.evaluate(ctx)
+        nf, q = detS.shape[0], w.shape[0]
+        res = jnp.broadcast_to(res, (1, nfd, nf, q))[0]
+        bf = (res * w[None, None, :]).sum(-1)
+        return (bf * detS[None, :]).T
+
+    def _expanded_facet_dofs(self, fdofs):
+        import numpy as np
+        nc = self.space.num_components
+        if nc == 1:
+            return fdofs
+        base = fdofs.astype(np.int64) * nc
+        return (base[:, :, None] + np.arange(nc, dtype=np.int64)
+                ).reshape(base.shape[0], -1).astype(np.int32)
+
     # -- assembly ------------------------------------------------------------
 
     def assemble(self, format: str = "ell", pattern=None, pad_to=None):
@@ -264,6 +380,8 @@ class WeakForm:
         the shift-invariant zero-scatter path — the same storage the fused
         kernels and geometric multigrid consume (solve.bc
         .apply_dirichlet_stencil applies BCs)."""
+        import numpy as np
+
         space = self.space
         ecoords = jnp.asarray(space.mesh.element_coords(), self.dtype)
         Ke = self.element_matrices(ecoords)
@@ -271,8 +389,22 @@ class WeakForm:
         if self.rhs_expr is not None:
             be = self.element_vectors(ecoords)
             b = assemble_vector(space.dof_conn, be, space.num_dofs)
+
+        setup = None
+        fdofs_exp = None
+        if self.bnd_rhs_expr is not None or self.bnd_lhs_expr is not None:
+            setup = self._facet_setup()
+            fdofs_exp = self._expanded_facet_dofs(setup[1])
+        if self.bnd_rhs_expr is not None:
+            bf = self.boundary_element_vectors(setup)
+            b_bnd = assemble_vector(fdofs_exp, bf, space.num_dofs)
+            b = b_bnd if b is None else b + b_bnd
+
         if format == "dense":
             A = assemble_dense(space.dof_conn, Ke, space.num_dofs)
+            if self.bnd_lhs_expr is not None:
+                Kf = self.boundary_element_matrices(setup)
+                A = A + assemble_dense(fdofs_exp, Kf, space.num_dofs)
         elif format == "ell":
             if pattern is None:
                 from tpufem.mesh.adjacency import ell_pattern
@@ -281,6 +413,16 @@ class WeakForm:
                 pattern = ell_pattern(space.dof_conn, space.num_dofs,
                                       pad_to=pad_to)
             A = assemble_ell(pattern, Ke)
+            if self.bnd_lhs_expr is not None:
+                from tpufem.mesh.adjacency import slots_for_conn
+                Kf = self.boundary_element_matrices(setup)
+                from tpufem.sparse.ell import ELLMatrix
+                slots = jnp.asarray(
+                    slots_for_conn(pattern, fdofs_exp).reshape(-1))
+                data = A.data.reshape(-1).at[slots].add(Kf.reshape(-1))
+                A = ELLMatrix(data=data.reshape(A.data.shape), cols=A.cols,
+                              row_lengths=A.row_lengths,
+                              diag_pos=A.diag_pos)
         elif format == "stencil":
             from tpufem.assemble.structured import (
                 assemble_stencil_structured, structured_plan)
@@ -293,6 +435,23 @@ class WeakForm:
                                  "spaces; use 'ell' otherwise")
             plan = structured_plan(space.mesh)
             A = assemble_stencil_structured(plan, Ke)
+            if self.bnd_lhs_expr is not None:
+                Kf = self.boundary_element_matrices(setup)
+                nn = space.num_dofs
+                offsets = np.asarray(A.offsets, np.int64)
+                rows = fdofs_exp[:, :, None].astype(np.int64)
+                cols = fdofs_exp[:, None, :].astype(np.int64)
+                k = np.searchsorted(offsets, (cols - rows).reshape(-1))
+                if not np.array_equal(offsets[k],
+                                      (cols - rows).reshape(-1)):
+                    raise RuntimeError("boundary entry outside the stencil")
+                row_flat = np.broadcast_to(
+                    rows, np.broadcast_shapes(rows.shape, cols.shape)
+                ).reshape(-1)
+                slots = jnp.asarray(k * nn + row_flat)
+                data = A.data.reshape(-1).at[slots].add(Kf.reshape(-1))
+                from tpufem.sparse.stencil import StencilMatrix
+                A = StencilMatrix(data.reshape(A.data.shape), A.offsets)
         else:
             raise ValueError(f"unknown format {format!r}")
         return A, b
@@ -312,3 +471,21 @@ def integrate(space: FunctionSpace, expr: Expr, *, quadrature=None,
     ne, q = ecoords.shape[0], w.shape[0]
     res = jnp.broadcast_to(res, (ne, q))
     return (((res * w[None, :]).sum(1)) * adet).sum()
+
+
+def integrate_boundary(space: FunctionSpace, expr: Expr, *, quadrature=None,
+                       where=None, dtype=jnp.float64):
+    """∫_Γ expr ds over the (optionally filtered) boundary — e.g. total
+    flux ``integrate_boundary(V, dot(grad_of_exact, n))``, surface area,
+    or traction resultants.  ``expr`` may use FacetNormal, Functions (by
+    value), SpatialCoordinate, and Coefficients; not grad(u/v)."""
+    wf = WeakForm(space, dtype=dtype)
+    wf.bnd_quadrature = quadrature
+    wf.bnd_mask = where
+    setup = wf._facet_setup()
+    ctx, detS, w, _ = wf._facet_context(setup, bind_trial=False,
+                                        bind_test=False)
+    res = expr.evaluate(ctx)
+    nf, q = detS.shape[0], w.shape[0]
+    res = jnp.broadcast_to(res, (1, 1, nf, q))[0, 0]
+    return (((res * w[None, :]).sum(1)) * detS).sum()

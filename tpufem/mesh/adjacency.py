@@ -273,3 +273,24 @@ def greedy_element_coloring(conn: np.ndarray, num_nodes: int) -> np.ndarray:
         remaining = remaining[~wins]
         color += 1
     return colors
+
+
+def slots_for_conn(pattern: ELLPattern, conn: np.ndarray) -> np.ndarray:
+    """Flat ELL slot index for every (i, j) DOF pair of an extra
+    connectivity (e.g. boundary facets) — all pairs must already exist in
+    the pattern (facet node pairs always do: they co-occur in the owner
+    element).  Returns [NC, n, n] int64 indices into data.reshape(-1)."""
+    conn = np.asarray(conn, np.int64)
+    nn, K = pattern.cols.shape
+    row_start = np.zeros(nn + 1, dtype=np.int64)
+    np.cumsum(pattern.row_lengths, out=row_start[1:])
+    keys = (conn[:, :, None] * nn + conn[:, None, :]).reshape(-1)
+    u = np.searchsorted(pattern.unique_keys, keys)
+    if (u >= pattern.unique_keys.size).any() or not np.array_equal(
+            pattern.unique_keys[np.minimum(
+                u, pattern.unique_keys.size - 1)], keys):
+        raise ValueError("connectivity pair missing from the ELL pattern")
+    rows = keys // nn
+    slots = rows * K + (u - row_start[rows])
+    n = conn.shape[1]
+    return slots.reshape(-1, n, n)
