@@ -114,20 +114,32 @@ def main():
         data, b, inv_d = build_system(X)
         _ = float(b[0])
 
-    # mixed-precision V-cycle: bfloat16 coefficient planes halve the
-    # preconditioner's dominant HBM traffic at zero iteration cost (the
-    # rounded level operators stay symmetric; measured 0.488 -> 0.298
-    # ms/iter at n=96 with identical relres) — see BENCH_NOTES.md
-    pdtype = os.environ.get("TPUFEM_BENCH_PRECOND_DTYPE", "bfloat16")
+    # Preconditioner variants (CG always iterates on the fused-assembled
+    # system; the preconditioner is a free SPD choice):
+    #   const (default): analytic uniform-box ConstMGLevels — the V-cycle's
+    #     K coefficient planes become compile-time constants, leaving only
+    #     vector traffic in every smoother pass (measured ~25% faster
+    #     per PCG iteration than bf16, ~35% than fp32 at n=96);
+    #   bf16: general hierarchy with bfloat16 coefficient planes — the
+    #     right mode for non-uniform geometry;
+    #   fp32: the round-1 general hierarchy.
+    pmode = os.environ.get("TPUFEM_BENCH_PRECOND", "const")
     with timer("build_mg_hierarchy"):
         if solver == "mg":
-            # finest level reuses the fused on-device build (top=...); the
-            # coarse levels assemble analytically from one cell's stiffness
-            levels = build_poisson_multigrid((-3.0, 3.0), n, 3, dtype=dtype,
-                                             coarse_max=8, use_pallas=True,
-                                             top=(data, bc_mask))
-            if pdtype != "float32":
-                levels = cast_hierarchy(levels, jnp.dtype(pdtype))
+            if pmode == "const":
+                levels = build_poisson_multigrid((-3.0, 3.0), n, 3,
+                                                 dtype=dtype, coarse_max=8,
+                                                 use_pallas=True,
+                                                 operator="const")
+            else:
+                # finest level reuses the fused on-device build (top=...);
+                # coarse levels assemble analytically from one cell
+                levels = build_poisson_multigrid((-3.0, 3.0), n, 3,
+                                                 dtype=dtype, coarse_max=8,
+                                                 use_pallas=True,
+                                                 top=(data, bc_mask))
+                if pmode == "bf16":
+                    levels = cast_hierarchy(levels, jnp.bfloat16)
             precond = mg_preconditioner(levels, nu1=1, nu2=1,
                                         use_pallas=not interp)
             precond_dot = mg_preconditioner(levels, nu1=1, nu2=1,
@@ -266,7 +278,7 @@ def main():
         "pcg_iter_ms": round(t_iter * 1e3, 4),
         "pcg_iter_hbm_sol_fraction": round(iter_sol, 3),
         "solver": solver,
-        "precond_dtype": pdtype if solver == "mg" else "float32",
+        "precond": pmode if solver == "mg" else "jacobi",
         "pcg_iters_to_1e-5": iters,
         "pcg_relres": relres,
         "solve_ms": round(iters * t_iter * 1e3, 2),

@@ -214,3 +214,119 @@ def test_cg_fused_hooks_equivalent():
     x0, _ = cg_fixed(mv, b, 8, M=M)
     x1, _ = cg_fixed(mv, b, 8, matvec_dot=mvd, M_dot=Md)
     np.testing.assert_array_equal(np.asarray(x0), np.asarray(x1))
+
+
+# -- round-2: constant-coefficient (uniform-box) hierarchy -------------------
+
+@pytest.mark.parametrize("dim,n", [(2, 16), (3, 8)])
+def test_const_hierarchy_matches_general_operator(dim, n):
+    """ConstMGLevel matvec == the general analytic level operator, per level."""
+    from tpufem.solve.multigrid import _matvec
+    gen = build_poisson_multigrid((-3.0, 3.0), n, dim, dtype=jnp.float64,
+                                  coarse_max=4, use_pallas=False)
+    con = build_poisson_multigrid((-3.0, 3.0), n, dim, dtype=jnp.float64,
+                                  coarse_max=4, use_pallas=False,
+                                  operator="const")
+    assert len(gen) == len(con)
+    rng = np.random.default_rng(3)
+    for lg, lc in zip(gen, con):
+        x = jnp.asarray(rng.standard_normal(lg.plan.num_store_rows))
+        y_gen = _matvec(lg, x, False)
+        y_con = _matvec(lc, x, False)
+        np.testing.assert_allclose(np.asarray(y_con), np.asarray(y_gen),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(lc.inv_diag),
+                                   np.asarray(lg.inv_diag),
+                                   rtol=1e-12, atol=1e-12)
+    # coarse inverse exists on both and matches
+    np.testing.assert_allclose(np.asarray(con[-1].coarse_inverse),
+                               np.asarray(gen[-1].coarse_inverse),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_const_pallas_kernels_match_xla():
+    """interpret-mode const kernels == the XLA const formulation."""
+    from tpufem.ops.stencil_pallas import (
+        const_matvec_embedded, const_residual_embedded,
+        const_smooth_dot_embedded, const_smooth_embedded)
+    from tpufem.solve.multigrid import _matvec, _residual, _smooth
+    con = build_poisson_multigrid((-3.0, 3.0), 8, 3, dtype=jnp.float32,
+                                  coarse_max=4, use_pallas=False,
+                                  operator="const")
+    L = con[0]
+    rng = np.random.default_rng(5)
+    ns = L.plan.num_store_rows
+    x = jnp.asarray(rng.standard_normal(ns), jnp.float32)
+    r = jnp.asarray(rng.standard_normal(ns), jnp.float32)
+
+    y0 = _matvec(L, x, False)
+    y1 = const_matvec_embedded(L.weights, L.code, x, L.plan, interpret=True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-6, atol=1e-5)
+
+    r0 = _residual(L, r, x, False)
+    r1 = const_residual_embedded(L.weights, L.code, r, x, L.plan,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0),
+                               rtol=1e-6, atol=1e-5)
+
+    s0 = _smooth(L, r, x, 0.8, False)
+    s1 = const_smooth_embedded(L.weights, L.code, r, x, L.plan, omega=0.8,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=1e-6, atol=1e-5)
+
+    s2, rz = const_smooth_dot_embedded(L.weights, L.code, r, x, L.plan,
+                                       omega=0.8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(s1))
+    np.testing.assert_allclose(float(rz), float(jnp.vdot(r, s1)), rtol=1e-4)
+
+
+def test_const_preconditioner_convergence_matches_general():
+    """MG-PCG with the const-hierarchy preconditioner must converge like the
+    general hierarchy (same operator, same V-cycle) on the general system."""
+    gen = build_poisson_multigrid((-3.0, 3.0), 16, 3, dtype=jnp.float64,
+                                  coarse_max=4, use_pallas=False)
+    con = build_poisson_multigrid((-3.0, 3.0), 16, 3, dtype=jnp.float64,
+                                  coarse_max=4, use_pallas=False,
+                                  operator="const")
+    top = gen[0]
+    rng = np.random.default_rng(11)
+    xt = jnp.asarray(rng.standard_normal(top.plan.num_store_rows))
+    xt = jnp.where(top.bc_mask, 0, xt)
+    xt = top.plan.embed_field(top.plan.extract_field(xt))
+    mv = lambda v: stencil_matvec(top.data, top.plan.offsets, v)
+    b = mv(xt)
+    res_g = cg(mv, b, tol=1e-10, maxiter=60,
+               M=mg_preconditioner(gen, use_pallas=False))
+    res_c = cg(mv, b, tol=1e-10, maxiter=60,
+               M=mg_preconditioner(con, use_pallas=False))
+    assert bool(res_c.converged)
+    assert int(res_c.iterations) == int(res_g.iterations)
+    np.testing.assert_allclose(np.asarray(res_c.x), np.asarray(res_g.x),
+                               rtol=1e-8, atol=1e-9)
+
+
+def test_const_vcycle_final_dot():
+    con = build_poisson_multigrid((-3.0, 3.0), 8, 3, dtype=jnp.float64,
+                                  coarse_max=4, use_pallas=False,
+                                  operator="const")
+    rng = np.random.default_rng(13)
+    r = jnp.asarray(rng.standard_normal(con[0].plan.num_store_rows))
+    r = jnp.where(con[0].bc_mask, 0, r)
+    r = con[0].plan.embed_field(con[0].plan.extract_field(r))
+    e0 = v_cycle(con, r, nu1=1, nu2=1, use_pallas=False)
+    e1, rz = v_cycle(con, r, nu1=1, nu2=1, use_pallas=False, final_dot=True)
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+    np.testing.assert_allclose(float(rz), float(jnp.vdot(r, e0)), rtol=1e-8)
+
+
+def test_cast_hierarchy_handles_const_levels():
+    from tpufem.solve.multigrid import ConstMGLevel, cast_hierarchy
+    con = build_poisson_multigrid((-3.0, 3.0), 8, 2, dtype=jnp.float32,
+                                  coarse_max=4, use_pallas=False,
+                                  operator="const")
+    c16 = cast_hierarchy(con, jnp.bfloat16)
+    assert all(isinstance(l, ConstMGLevel) for l in c16)
+    assert c16[0].code.dtype == jnp.bfloat16
+    assert c16[0].weights == con[0].weights

@@ -33,15 +33,20 @@ import jax
 import jax.numpy as jnp
 
 from tpufem.assemble.structured import StructuredPlan, structured_plan
-from tpufem.ops.stencil_pallas import (pick_block_lead,
+from tpufem.ops.stencil_pallas import (const_matvec_embedded,
+                                        const_residual_embedded,
+                                        const_smooth_dot_embedded,
+                                        const_smooth_embedded,
+                                        pick_block_lead,
                                         stencil_matvec_embedded,
                                         stencil_residual_embedded,
                                         stencil_smooth_dot_embedded,
                                         stencil_smooth_embedded)
 from tpufem.sparse.stencil import stencil_matvec
 
-__all__ = ["prolong", "restrict", "MGLevel", "build_poisson_multigrid",
-           "cast_hierarchy", "v_cycle", "mg_preconditioner"]
+__all__ = ["prolong", "restrict", "MGLevel", "ConstMGLevel",
+           "build_poisson_multigrid", "cast_hierarchy", "v_cycle",
+           "mg_preconditioner"]
 
 
 # -- transfer operators on plain node grids ---------------------------------
@@ -163,15 +168,78 @@ jax.tree_util.register_pytree_node(MGLevel, _mglevel_flatten,
                                    _mglevel_unflatten)
 
 
-def _matvec(level: MGLevel, x, use_pallas: bool):
+@dataclasses.dataclass
+class ConstMGLevel:
+    """Uniform-grid level: K compile-time weights replace the [K, NS]
+    coefficient planes — the V-cycle then streams only vectors (one small
+    row-type ``code`` plane: 1 = interior, 2 = Dirichlet, 0 = padding).
+
+    Valid whenever the level operator is the Dirichlet-eliminated Poisson
+    operator of a uniform box (exactly what the analytic hierarchy levels
+    assemble); a preconditioner built from it pairs with ANY fine operator
+    the CG matvec uses."""
+
+    plan: StructuredPlan
+    weights: tuple                # K floats, aux (baked into the kernel)
+    code: jax.Array               # embedded row-type plane
+    block_lead: int
+    coarse_inverse: Optional[jax.Array] = None
+
+    @property
+    def bc_mask(self):
+        return self.code == 2.0
+
+    @property
+    def inv_diag(self):
+        k0 = self.plan.offsets.index(0)
+        return jnp.where(self.code == 1.0, 1.0 / self.weights[k0], 1.0)
+
+
+jax.tree_util.register_pytree_node(
+    ConstMGLevel,
+    lambda l: ((l.code, l.coarse_inverse),
+               (l.plan, l.weights, l.block_lead)),
+    lambda aux, ch: ConstMGLevel(plan=aux[0], weights=aux[1],
+                                 block_lead=aux[2], code=ch[0],
+                                 coarse_inverse=ch[1]))
+
+
+def _const_matvec_xla(weights, code, offsets, x):
+    """XLA fallback of the const kernel (CPU tests / interpret-free path)."""
+    interior = code == 1.0
+    xm = jnp.where(interior, x, 0)
+    n = x.shape[0]
+    halo = int(max(abs(int(o)) for o in offsets))
+    xp = jnp.pad(xm, (halo, halo))
+    y = jnp.zeros_like(x)
+    for k, off in enumerate(offsets):
+        y = y + weights[k] * jax.lax.dynamic_slice(
+            xp, (halo + int(off),), (n,))
+    return jnp.where(interior, y, 0) + jnp.where(code == 2.0, x, 0)
+
+
+def _matvec(level, x, use_pallas: bool):
+    if isinstance(level, ConstMGLevel):
+        if use_pallas:
+            return const_matvec_embedded(level.weights, level.code, x,
+                                         level.plan,
+                                         block_lead=level.block_lead)
+        return _const_matvec_xla(level.weights, level.code,
+                                 level.plan.offsets, x)
     if use_pallas:
         return stencil_matvec_embedded(level.data, x, level.plan,
                                        block_lead=level.block_lead)
     return stencil_matvec(level.data, level.plan.offsets, x)
 
 
-def _smooth(level: MGLevel, r, e, omega: float, use_pallas: bool):
+def _smooth(level, r, e, omega: float, use_pallas: bool):
     """One weighted-Jacobi sweep e + omega D^-1 (r - A e) (fused on TPU)."""
+    if isinstance(level, ConstMGLevel) and use_pallas:
+        return const_smooth_embedded(level.weights, level.code, r, e,
+                                     level.plan, omega=omega,
+                                     block_lead=level.block_lead)
+    if isinstance(level, ConstMGLevel):
+        return e + omega * level.inv_diag * (r - _matvec(level, e, False))
     if use_pallas:
         return stencil_smooth_embedded(level.data, r, e, level.inv_diag,
                                        level.plan, omega=omega,
@@ -179,8 +247,12 @@ def _smooth(level: MGLevel, r, e, omega: float, use_pallas: bool):
     return e + omega * level.inv_diag * (r - _matvec(level, e, False))
 
 
-def _residual(level: MGLevel, r, e, use_pallas: bool):
-    if use_pallas:
+def _residual(level, r, e, use_pallas: bool):
+    if isinstance(level, ConstMGLevel) and use_pallas:
+        return const_residual_embedded(level.weights, level.code, r, e,
+                                       level.plan,
+                                       block_lead=level.block_lead)
+    if use_pallas and not isinstance(level, ConstMGLevel):
         return stencil_residual_embedded(level.data, r, e, level.plan,
                                          block_lead=level.block_lead)
     return r - _matvec(level, e, False)
@@ -291,10 +363,24 @@ def _apply_bc_numpy(raw: np.ndarray, offsets, mask_flat: np.ndarray):
     return raw
 
 
+def _uniform_weights(plan: StructuredPlan, Ke_one: np.ndarray) -> np.ndarray:
+    """[K] constant interior-row stencil weights of the uniform grid: every
+    interior node receives exactly one cell's contribution per (type, a, b)
+    local-matrix entry, so the row is the entry-wise sum by offset."""
+    w = np.zeros(plan.width, np.float64)
+    T, npe = Ke_one.shape[0], Ke_one.shape[1]
+    for t in range(T):
+        for a in range(npe):
+            for b in range(npe):
+                w[int(plan.entry_k[t, a, b])] += float(Ke_one[t, a, b])
+    return w
+
+
 def build_poisson_multigrid(domain, n_cells: int, dim: int, *,
                             levels: Optional[int] = None,
                             dtype=jnp.float32, coarse_max: int = 8,
                             use_pallas: bool = True,
+                            operator: str = "general",
                             top: Optional[tuple] = None) -> List[MGLevel]:
     """Hierarchy of embedded stencil Poisson operators on (domain)^dim.
 
@@ -310,6 +396,12 @@ def build_poisson_multigrid(domain, n_cells: int, dim: int, *,
     uniform, so each level's operator is T*npe² constant slice-adds from a
     single cell's stiffness (``_uniform_stencil_data``) — the whole
     hierarchy builds in well under a second at any size we run.
+
+    ``operator="const"``: build ConstMGLevels — the K stencil weights are
+    compile-time constants and no coefficient planes exist at any level
+    (15/17 of the smoother's HBM traffic gone).  Only valid as written for
+    the uniform box; pairs as a *preconditioner* with any fine operator
+    (``top`` is rejected — the fine level is analytic too).
     """
     sizes = [n_cells]
     while (sizes[-1] % 2 == 0 and sizes[-1] > coarse_max
@@ -317,6 +409,38 @@ def build_poisson_multigrid(domain, n_cells: int, dim: int, *,
         sizes.append(sizes[-1] // 2)
 
     default = jax.devices()[0]
+
+    if operator == "const":
+        if top is not None:
+            raise ValueError("operator='const' is fully analytic; drop top=")
+        out = []
+        for s in sizes:
+            info, _, bc_grid = _light_grid(domain, s, dim, with_coords=False)
+            plan = structured_plan(info, embed=True)
+            Ke_one = _uniform_cell_stiffness(domain, s, dim, np.float64)
+            w = _uniform_weights(plan, Ke_one)
+            code_np = _embed_grid_numpy(
+                np.where(bc_grid, 2.0, 1.0), plan.store_grid, fill=0.0
+            ).astype(np.dtype(dtype).type)
+            out.append(ConstMGLevel(
+                plan=plan,
+                weights=tuple(float(v) for v in w),
+                code=jax.device_put(jnp.asarray(code_np), default),
+                block_lead=pick_block_lead(plan.store_grid, 5),
+                coarse_inverse=None))
+        last = out[-1]
+        nn = int(np.prod(last.plan.info.node_grid))
+        if nn <= 20_000:
+            s = sizes[-1]
+            info, _, bc_grid = _light_grid(domain, s, dim, with_coords=False)
+            Ke_one = _uniform_cell_stiffness(domain, s, dim, np.float64)
+            raw = _uniform_stencil_data(last.plan, Ke_one, np.float64)
+            mask_np = _embed_grid_numpy(bc_grid, last.plan.store_grid,
+                                        fill=False)
+            raw = _apply_bc_numpy(raw, last.plan.offsets, mask_np)
+            last.coarse_inverse = jnp.asarray(
+                _dense_inverse_from_raw(last.plan, raw), dtype)
+        return out
 
     out: List[MGLevel] = []
     for li, s in enumerate(sizes):
@@ -358,21 +482,28 @@ def build_poisson_multigrid(domain, n_cells: int, dim: int, *,
     nn = int(np.prod(last.plan.info.node_grid))
     if nn > 20_000:
         return out
+    last.coarse_inverse = jnp.asarray(
+        _dense_inverse_from_raw(last.plan,
+                                np.asarray(last.data, np.float64)), dtype)
+    return out
+
+
+def _dense_inverse_from_raw(plan: StructuredPlan,
+                            data_np: np.ndarray) -> np.ndarray:
+    """Dense inverse of a (tiny) embedded stencil operator (host)."""
+    nn = int(np.prod(plan.info.node_grid))
     dense = np.zeros((nn, nn), np.float64)
-    data_np = np.asarray(last.data, np.float64)
-    ns = last.plan.num_store_rows
-    node_of = _store_to_node_map(last.plan)        # [NS], -1 on border
+    ns = plan.num_store_rows
+    node_of = _store_to_node_map(plan)             # [NS], -1 on border
     store_idx = np.arange(ns)
-    for k, off in enumerate(last.plan.offsets):
+    for k, off in enumerate(plan.offsets):
         c = store_idx + off
         valid = (c >= 0) & (c < ns)
         ri = node_of[store_idx]
         ci = node_of[np.clip(c, 0, ns - 1)]
         m = valid & (ri >= 0) & (ci >= 0) & (data_np[k] != 0)
         np.add.at(dense, (ri[m], ci[m]), data_np[k][m])
-    inv = np.linalg.inv(dense)
-    last.coarse_inverse = jnp.asarray(inv, dtype)
-    return out
+    return np.linalg.inv(dense)
 
 
 def cast_hierarchy(levels: List[MGLevel], dtype) -> List[MGLevel]:
@@ -386,13 +517,23 @@ def cast_hierarchy(levels: List[MGLevel], dtype) -> List[MGLevel]:
     its dtype (no traffic to save).  Use for the preconditioner only — the
     CG matvec must keep full-precision data for true residuals.
     """
-    return [MGLevel(plan=l.plan,
-                    data=l.data.astype(dtype),
-                    inv_diag=l.inv_diag.astype(dtype),
-                    bc_mask=l.bc_mask,
-                    block_lead=l.block_lead,
-                    coarse_inverse=l.coarse_inverse)
-            for l in levels]
+    out = []
+    for l in levels:
+        if isinstance(l, ConstMGLevel):
+            # weights are compile-time scalars (no traffic to save); only
+            # the row-type plane carries dtype
+            out.append(ConstMGLevel(plan=l.plan, weights=l.weights,
+                                    code=l.code.astype(dtype),
+                                    block_lead=l.block_lead,
+                                    coarse_inverse=l.coarse_inverse))
+        else:
+            out.append(MGLevel(plan=l.plan,
+                               data=l.data.astype(dtype),
+                               inv_diag=l.inv_diag.astype(dtype),
+                               bc_mask=l.bc_mask,
+                               block_lead=l.block_lead,
+                               coarse_inverse=l.coarse_inverse))
+    return out
 
 
 def _store_to_node_map(plan: StructuredPlan) -> np.ndarray:
@@ -464,6 +605,10 @@ def v_cycle(levels: List[MGLevel], r, *, li: int = 0, nu1: int = 2,
     for _ in range(nu2 - (1 if final_dot else 0)):
         e = _smooth(level, r, e, omega, use_pallas)
     if final_dot:
+        if use_pallas and isinstance(level, ConstMGLevel):
+            return const_smooth_dot_embedded(
+                level.weights, level.code, r, e, level.plan, omega=omega,
+                block_lead=level.block_lead)
         if use_pallas:
             return stencil_smooth_dot_embedded(
                 level.data, r, e, level.inv_diag, level.plan, omega=omega,
