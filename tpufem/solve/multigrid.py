@@ -191,8 +191,15 @@ class ConstMGLevel:
 
     @property
     def inv_diag(self):
+        # anchor both branches to the code plane's dtype: with jax_enable_x64
+        # on, where(bool, py_float, py_float) would otherwise materialize an
+        # f64 plane and silently promote the whole fine-level smoothing chain
+        # (measured 3x per-iteration cost in the bench, which enables x64 for
+        # its 1e-8 refinement metric)
         k0 = self.plan.offsets.index(0)
-        return jnp.where(self.code == 1.0, 1.0 / self.weights[k0], 1.0)
+        return jnp.where(self.code == 1.0,
+                         jnp.full_like(self.code, 1.0 / self.weights[k0]),
+                         jnp.ones_like(self.code))
 
 
 jax.tree_util.register_pytree_node(

@@ -37,32 +37,36 @@ def _force(x):
 
 def device_seconds_per_rep(run: Callable[[int], object], *,
                            reps_low: int = 3, reps_high: int = 53,
-                           warmup: bool = True, trials: int = 3) -> float:
+                           warmup: bool = True, trials: int = 5) -> float:
     """Seconds per repetition of the kernel inside ``run``.
 
     ``run(reps)`` must execute its kernel ``reps`` times *inside one jitted
     call* with a loop-carried data dependence (so XLA cannot hoist work out
     of the loop), and return an array.
 
-    ``trials``: the (low, high) pair is measured this many times and the
-    MEDIAN difference reported — relay latency fluctuates, and a slow relay
-    moment hitting only one side of a single pair can distort the
-    difference by several x (observed: a 1.5 ms kernel reading 0.33 ms).
+    Noise model (measured): on top of ~30 ms relay round-trip jitter, the
+    shared chip's effective throughput drifts in sustained windows (the same
+    in-jit loop measured 0.11-0.31 ms/rep across minutes; multi-tenant
+    interference).  Each side of the rep-difference is therefore sampled
+    ``trials`` times interleaved and its MINIMUM taken — the timeit
+    estimator: both minima approximate the uncontended fast window, and
+    their difference is the dedicated-chip seconds-per-rep.  (A median of
+    paired differences — the previous scheme — tracks whatever slow window
+    the burst landed in, and a slow moment hitting only one side of a pair
+    distorts the difference by several x.)
     """
     if warmup:
         _force(run(reps_low))
         _force(run(reps_high))
-    diffs = []
+    lows, highs = [], []
     for _ in range(max(1, trials)):
         t0 = time.perf_counter()
         _force(run(reps_low))
-        t_low = time.perf_counter() - t0
+        lows.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         _force(run(reps_high))
-        t_high = time.perf_counter() - t0
-        diffs.append((t_high - t_low) / (reps_high - reps_low))
-    diffs.sort()
-    return max(diffs[len(diffs) // 2], 1e-9)
+        highs.append(time.perf_counter() - t0)
+    return max((min(highs) - min(lows)) / (reps_high - reps_low), 1e-9)
 
 
 def bandwidth_gbs(bytes_moved: float, seconds: float) -> float:
