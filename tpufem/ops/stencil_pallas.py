@@ -18,10 +18,12 @@ zero halo border, minor axes are padded to (8, 128) tile multiples and the
 leading axis to a multiple of 8, node (i, j, k) living at (i+1, j+1, k+1).
 Consequences exploited here:
 
-  * the x halo along the leading axis comes from the previous/next block of
-    the same array via three overlapping BlockSpecs — Pallas double-buffers
-    all streams, no manual DMA;
-  * edge blocks clamp their neighbor index; the rows that would need the
+  * the x halo along the leading axis is two precomputed single-row streams
+    (last row of each previous block / first row of each next block, built
+    by one strided slice per call) — streaming whole neighbor blocks via
+    overlapping BlockSpecs would triple the vector traffic to use one row
+    of each (measured 2x on the const smoother);
+  * edge blocks clamp their neighbor row; the rows that would need the
     out-of-range halo are border rows whose coefficients are zero, so the
     wrong halo values are multiplied away;
   * minor-axis stencil shifts are lane/sublane rolls of VMEM values; roll
@@ -147,7 +149,8 @@ def _kernel_smooth_dot(data_ref, xm_ref, x0_ref, xp_ref, r_ref, invd_ref,
 def pick_block_lead(store_grid, width, dtype_bytes=4,
                     vmem_budget=5 << 20) -> int:
     """Largest leading-axis block that divides the grid and fits VMEM
-    (streams are double-buffered: data K*B + 3 x blocks + y, times 2)."""
+    (streams are double-buffered: data K*B + x block + y + extras, times 2;
+    the halo rows are negligible)."""
     lead = store_grid[0]
     rest = int(np.prod(store_grid[1:])) if len(store_grid) > 1 else 1
     best = 1
@@ -161,6 +164,22 @@ def pick_block_lead(store_grid, width, dtype_bytes=4,
             break
         best = b
     return best
+
+
+def _halo_rows(ag, nblk, block_lead):
+    """Per-block leading-axis halo rows of an [L, *minor] grid array.
+
+    Returns (prev, nxt), each [nblk, *minor]: prev[i] = last row of block
+    i-1, nxt[i] = first row of block i+1, edge blocks clamped (the clamped
+    rows feed only zero-coefficient border rows).  One strided slice each —
+    ~2/B of a plane of traffic, replacing a full extra pass per neighbor.
+    """
+    ab = ag.reshape((nblk, block_lead) + ag.shape[1:])
+    last = ab[:, block_lead - 1]                  # [nblk, *minor]
+    first = ab[:, 0]
+    prev = jnp.concatenate([last[:1], last[:-1]], axis=0)
+    nxt = jnp.concatenate([first[1:], first[-1:]], axis=0)
+    return prev, nxt
 
 
 def _stencil_call(kern_fn, data, x, extras, plan, block_lead, interpret,
@@ -192,27 +211,23 @@ def _stencil_call(kern_fn, data, x, extras, plan, block_lead, interpret,
     data_g = data.reshape((K,) + sg)
     x_g = x.reshape(sg)
     extras_g = [e.reshape(sg) for e in extras]
+    x_prev, x_next = _halo_rows(x_g, nblk, block_lead)
 
     zeros = (0,) * (g - 1)
     xblock = (block_lead,) + sg[1:]
-
-    def xmap_prev(i):
-        return (jnp.maximum(i - 1, 0),) + zeros
+    rowblock = (1,) + sg[1:]
 
     def xmap_cur(i):
         return (i,) + zeros
-
-    def xmap_next(i):
-        return (jnp.minimum(i + 1, nblk - 1),) + zeros
 
     kern = functools.partial(kern_fn, offsets_grid=offsets_grid,
                              block_lead=block_lead, **kern_kwargs)
     in_specs = [
         pl.BlockSpec((K,) + xblock, lambda i: (0, i) + zeros,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(xblock, xmap_prev, memory_space=pltpu.VMEM),
+        pl.BlockSpec(rowblock, xmap_cur, memory_space=pltpu.VMEM),
         pl.BlockSpec(xblock, xmap_cur, memory_space=pltpu.VMEM),
-        pl.BlockSpec(xblock, xmap_next, memory_space=pltpu.VMEM),
+        pl.BlockSpec(rowblock, xmap_cur, memory_space=pltpu.VMEM),
     ] + [pl.BlockSpec(xblock, xmap_cur, memory_space=pltpu.VMEM)
          for _ in extras_g]
     out_specs = pl.BlockSpec(xblock, xmap_cur, memory_space=pltpu.VMEM)
@@ -234,7 +249,7 @@ def _stencil_call(kern_fn, data, x, extras, plan, block_lead, interpret,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(data_g, x_g, x_g, x_g, *extras_g)
+        )(data_g, x_prev, x_g, x_next, *extras_g)
     if with_dot:
         return y[0].reshape(-1), y[1][0, 0]
     return y.reshape(-1)
@@ -369,23 +384,21 @@ def _const_stencil_call(kern_fn, code, x, extras, plan, block_lead,
     code_g = code.reshape(sg)
     x_g = x.reshape(sg)
     extras_g = [e.reshape(sg) for e in extras]
+    c_prev, c_next = _halo_rows(code_g, nblk, block_lead)
+    x_prev, x_next = _halo_rows(x_g, nblk, block_lead)
 
     zeros = (0,) * (g - 1)
     xblock = (block_lead,) + sg[1:]
-
-    def m_prev(i):
-        return (jnp.maximum(i - 1, 0),) + zeros
+    rowblock = (1,) + sg[1:]
 
     def m_cur(i):
         return (i,) + zeros
 
-    def m_next(i):
-        return (jnp.minimum(i + 1, nblk - 1),) + zeros
-
     kern = functools.partial(kern_fn, offsets_grid=plan.offsets_grid,
                              block_lead=block_lead, **kern_kwargs)
-    halo_spec = [pl.BlockSpec(xblock, m, memory_space=pltpu.VMEM)
-                 for m in (m_prev, m_cur, m_next)]
+    halo_spec = [pl.BlockSpec(rowblock, m_cur, memory_space=pltpu.VMEM),
+                 pl.BlockSpec(xblock, m_cur, memory_space=pltpu.VMEM),
+                 pl.BlockSpec(rowblock, m_cur, memory_space=pltpu.VMEM)]
     in_specs = halo_spec + halo_spec + [
         pl.BlockSpec(xblock, m_cur, memory_space=pltpu.VMEM)
         for _ in extras_g]
@@ -404,7 +417,7 @@ def _const_stencil_call(kern_fn, code, x, extras, plan, block_lead,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(code_g, code_g, code_g, x_g, x_g, x_g, *extras_g)
+        )(c_prev, code_g, c_next, x_prev, x_g, x_next, *extras_g)
     if with_dot:
         return y[0].reshape(-1), y[1][0, 0]
     return y.reshape(-1)
