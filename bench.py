@@ -159,8 +159,11 @@ def main():
         return jax.lax.fori_loop(
             0, reps, body, jnp.zeros((len(offsets), ns), dtype))
 
-    t_asm = device_seconds_per_rep(
-        lambda r: asm_reps(X, jnp.int32(r)), reps_low=2, reps_high=22)
+    def measure_asm():
+        return device_seconds_per_rep(
+            lambda r: asm_reps(X, jnp.int32(r)), reps_low=2, reps_high=22)
+
+    t_asm = measure_asm()
 
     # ---- one jitted PCG used for both timing and convergence ----
     def mv_of(data):
@@ -178,9 +181,13 @@ def main():
         return x, jnp.linalg.norm(r) / jnp.linalg.norm(b)
 
     reps_hi = 60 if solver == "mg" else 210
-    t_iter = device_seconds_per_rep(
-        lambda r: pcg_run(data, b, jnp.int32(r)),
-        reps_low=5, reps_high=reps_hi)
+
+    def measure_iter():
+        return device_seconds_per_rep(
+            lambda r: pcg_run(data, b, jnp.int32(r)),
+            reps_low=5, reps_high=reps_hi)
+
+    t_iter = measure_iter()
 
     # ---- convergence: iterations to 1e-5 relative residual (fp32) ----
     if solver == "mg":
@@ -248,6 +255,14 @@ def main():
     res8 = refined_run(data, data64, b)
     relres8 = float(res8.residual_norm)
     outers8 = int(res8.outer_iterations)
+
+    # re-measure the two headline timings now that ~minutes have passed and
+    # take the min: the shared chip's throughput drifts in sustained
+    # multi-tenant windows (BENCH_NOTES "Timing on a multi-tenant chip"),
+    # and two samples spaced across the run escape a slow window that a
+    # single burst — however many trials — cannot
+    t_asm = min(t_asm, measure_asm())
+    t_iter = min(t_iter, measure_iter())
 
     # solution quality vs exact manufactured solution
     coords = coords_grid.reshape(3, -1).T          # [NN, 3], x fastest

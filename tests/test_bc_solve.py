@@ -115,3 +115,34 @@ def test_nonzero_dirichlet():
     assert bool(res.converged)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(g),
                                rtol=1e-9, atol=1e-10)
+
+
+def test_cg_check_every_batched_matches():
+    """check_every>1 must reach the tolerance with the same solution; its
+    iteration count rounds up to the batch size."""
+    rng = np.random.default_rng(4)
+    n = 60
+    Q = rng.standard_normal((n, n))
+    A = jnp.asarray(Q @ Q.T + n * np.eye(n))
+    b = jnp.asarray(rng.standard_normal(n))
+    mv = lambda x: A @ x
+    r1 = cg(mv, b, tol=1e-10, maxiter=500)
+    r4 = cg(mv, b, tol=1e-10, maxiter=500, check_every=4)
+    assert bool(r4.converged) and not bool(r4.diverged)
+    assert float(r4.residual_norm) <= 1e-10
+    it1, it4 = int(r1.iterations), int(r4.iterations)
+    assert it1 <= it4 <= it1 + 3 and it4 % 4 == 0
+    np.testing.assert_allclose(np.asarray(r4.x), np.asarray(r1.x),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_cg_check_every_survives_exact_convergence():
+    """Steps past exact convergence inside a batch must stay finite (the
+    guarded alpha/beta freeze the recurrence; no 0/0)."""
+    # 1x1 identity: converges exactly on the first iteration; a batch of 8
+    # then executes 7 post-convergence steps
+    A = jnp.eye(4)
+    b = jnp.asarray([1.0, -2.0, 3.0, 0.5])
+    res = cg(lambda x: A @ x, b, tol=1e-12, maxiter=64, check_every=8)
+    assert bool(res.converged) and not bool(res.diverged)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(b), rtol=1e-12)

@@ -40,8 +40,13 @@ def cg(matvec: Callable, b, x0=None, *, tol: float = 1e-8,
 
     ``check_every``: iterations per convergence check. The while_loop's
     per-iteration guard costs a device-wide sync; batching k steps per
-    check recovers most of the fixed-iteration loop's pipelining at the
-    price of up to k-1 extra iterations past the tolerance.
+    check recovers the fixed-iteration loop's pipelining at the price of
+    up to k-1 extra iterations past the tolerance (``iterations`` then
+    reports the executed count — a multiple of k — and ``maxiter`` may
+    overshoot by up to k-1).  Steps past convergence are harmless: CG
+    keeps reducing the residual, and the degenerate denominators of a
+    fully-converged system (pAp, rz -> 0) are guarded to freeze the
+    recurrence instead of producing 0/0.
 
     ``matvec_dot`` / ``M_dot``: optional fused ``p -> (A p, <p, A p>)`` and
     ``r -> (M^-1 r, <r, M^-1 r>)`` — see :func:`cg_fixed`.
@@ -85,29 +90,32 @@ def cg(matvec: Callable, b, x0=None, *, tol: float = 1e-8,
         beta = rz_new / rz
         p = z + beta * p
         bad = ~jnp.isfinite(rz_new) | ~jnp.isfinite(pAp) | (pAp <= 0)
-        # freeze the state once converged/diverged inside a check batch so
-        # extra batched steps cannot corrupt the answer (e.g. 0/0 alphas)
-        done = (jnp.linalg.norm(r) <= atol) | bad
-        return (x, r, z, p, jnp.where(done, rz, rz_new), k + 1, bad), done
+        return (x, r, z, p, rz_new, k + 1, bad)
+
+    def step_safe(state):
+        # batched-check variant: identical recurrence with guarded scalar
+        # divisions, so steps executed past convergence are inert (alpha,
+        # beta -> 0 freezes x, r, p) instead of 0/0.  No vector-level
+        # where-freezing — that costs 4 extra full passes per iteration
+        # and erases the pipelining the batching exists to recover.
+        x, r, z, p, rz, k, bad = state
+        Ap, pAp = matvec_dot(p)
+        alpha = jnp.where(pAp > 0, rz / pAp, 0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z, rz_new = M_dot(r)
+        beta = jnp.where(rz > 0, rz_new / rz, 0)
+        p = z + beta * p
+        bad = bad | ~jnp.isfinite(rz_new) | ~jnp.isfinite(pAp) | (pAp < 0)
+        return (x, r, z, p, rz_new, k + 1, bad)
 
     def batched(state):
-        def body(i, st_done):
-            st, done = st_done
-            new_st, new_done = step(st)
-            out = jax.tree_util.tree_map(
-                lambda a, b_: jnp.where(done, a, b_), st, new_st)
-            # iteration counter still advances only while not done
-            out = out[:5] + (jnp.where(done, st[5], new_st[5]),
-                             new_st[6] | st[6])
-            return (out, done | new_done)
-        st, _ = jax.lax.fori_loop(
-            0, check_every, body, (state, jnp.asarray(False)))
-        return st
+        return jax.lax.fori_loop(0, check_every,
+                                 lambda i, st: step_safe(st), state)
 
     init = (x0, r0, z0, p0, rz0, jnp.int32(0), jnp.asarray(False))
     if check_every == 1:
-        x, r, _, _, _, k, bad = jax.lax.while_loop(
-            not_done, lambda s: step(s)[0], init)
+        x, r, _, _, _, k, bad = jax.lax.while_loop(not_done, step, init)
     else:
         x, r, _, _, _, k, bad = jax.lax.while_loop(not_done, batched, init)
 
