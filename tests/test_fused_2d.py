@@ -135,3 +135,30 @@ def test_fused_interp_rhs_solution_accuracy():
                           / np.sqrt(np.mean(ue ** 2))))
     rate = np.log2(errs[0] / errs[1])
     assert rate > 1.8, (errs, rate)
+
+
+def test_solve_poisson_fast_const_precond_3d():
+    """The default const-hierarchy preconditioner matches the general one
+    (same solution, comparable iterations), including with nonzero g."""
+    from tpufem.solve.poisson import model_problem_3d_planes
+    import jax.numpy as jnp
+    F3 = model_problem_3d_planes()
+    kw = dict(dim=3, tol=1e-7, quadrature_degree=2, interpret=True,
+              dtype=jnp.float32)
+    s_const = solve_poisson_fast((-3.0, 3.0), 8, F3, precond="const", **kw)
+    s_gen = solve_poisson_fast((-3.0, 3.0), 8, F3, precond="general", **kw)
+    assert bool(s_const.cg.converged) and bool(s_gen.cg.converged)
+    assert abs(int(s_const.cg.iterations) - int(s_gen.cg.iterations)) <= 4
+    np.testing.assert_allclose(np.asarray(s_const.u), np.asarray(s_gen.u),
+                               rtol=1e-5, atol=1e-6)
+
+    # nonzero Dirichlet data: exact solution u = x + 2y - z (harmonic)
+    gfun = lambda x, y, z: x + 2.0 * y - z
+    s_g = solve_poisson_fast((-3.0, 3.0), 8, lambda x, y, z: 0.0 * x,
+                             g=gfun, precond="const", **kw)
+    assert bool(s_g.cg.converged)
+    from tpufem.solve.multigrid import _light_grid
+    _, cg3, _ = _light_grid((-3.0, 3.0), 8, 3)
+    ue = (cg3[0] + 2.0 * cg3[1] - cg3[2]).reshape(-1)
+    err = np.linalg.norm(np.asarray(s_g.u) - ue) / np.linalg.norm(ue)
+    assert err < 1e-5, err

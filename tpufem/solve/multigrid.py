@@ -634,6 +634,12 @@ def mg_preconditioner(levels: List[MGLevel], *, nu1: int = 2, nu2: int = 2,
     (z, <r, z>) with the rz product fused into the final smoother pass."""
 
     def apply(r):
+        if with_dot and len(levels) < 2:
+            # a single-level hierarchy is just the coarse solve — no final
+            # smoother pass exists to fuse the dot into
+            z = v_cycle(levels, r, nu1=nu1, nu2=nu2, omega=omega,
+                        use_pallas=use_pallas)
+            return z, jnp.vdot(r, z)
         return v_cycle(levels, r, nu1=nu1, nu2=nu2, omega=omega,
                        use_pallas=use_pallas, final_dot=with_dot)
 

@@ -7,10 +7,12 @@ stencil SpMV) for 3D Poisson problems on structured box meshes:
     from tpufem.solve.structured_fast import solve_poisson_fast
     sol = solve_poisson_fast((-3, 3), n_cells=96, f_planes=f, tol=1e-5)
 
-6.0 ms device time at 913k DOFs on one v5e (assemble 1.2 ms + 10 MG-PCG
-iterations); scales past 11M DOFs on a single chip (the finest level is
-built on-device by the fused kernel, so hierarchy setup never materializes
-element arrays on the host).
+~4.5 ms device time at 913k DOFs on one v5e (assemble ~1.2 ms + 10-12
+MG-PCG iterations at ~0.30 ms with the default constant-coefficient
+preconditioner and batched convergence checks); scales past 11M DOFs on a
+single chip (hierarchy setup is fully analytic, and with
+``precond="general"`` the finest level reuses the fused on-device build,
+so setup never materializes element arrays on the host).
 """
 from __future__ import annotations
 
@@ -27,6 +29,7 @@ from tpufem.fem.quadrature import tetrahedron_rule
 from tpufem.ops.fused_system_pallas import (
     build_poisson_system_pallas, node_coords_embedded_from_grid)
 from tpufem.ops.stencil_pallas import (pick_block_lead,
+                                       stencil_matvec_dot_embedded,
                                        stencil_matvec_embedded)
 from tpufem.solve.cg import CGResult, cg
 from tpufem.solve.multigrid import build_poisson_multigrid, mg_preconditioner
@@ -50,6 +53,8 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
                        use_fused: bool = True,
                        g: Optional[Callable] = None,
                        rhs_mode: str = "quadrature",
+                       precond: str = "const",
+                       check_every: int = 4,
                        interpret: bool = False) -> FastSolution:
     """Assemble + solve -Δu = f on (domain)^dim with n_cells^dim cells.
 
@@ -60,6 +65,16 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
     ``g``: Dirichlet boundary data as ``g(x, y[, z]) -> plane`` (nonzero
     BC: the fused kernel emits the raw system and elimination happens in
     one vectorized XLA pass); default None = zero BC inside the kernel.
+
+    ``precond``: "const" (default) preconditions with the analytic
+    constant-coefficient hierarchy — valid for ANY Dirichlet data on the
+    uniform box this function assembles (elimination moves g to the RHS;
+    the matrix is the same), and ~25-40% faster per iteration than the
+    general hierarchy; "general" uses the assembled finest level
+    (``top=``), the right choice if you edit the operator afterwards.
+
+    ``check_every``: CG convergence-check batching (solve.cg) — the
+    default recovers fixed-iteration pipelining within ~5%.
     """
     phases = {}
 
@@ -138,9 +153,14 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
     t0 = time.perf_counter()
     mg_levels = None
     if use_multigrid:
-        mg_levels = build_poisson_multigrid(
-            domain, n_cells, dim, dtype=dtype, levels=levels,
-            top=(data, bc_mask))
+        if precond == "const":
+            mg_levels = build_poisson_multigrid(
+                domain, n_cells, dim, dtype=dtype, levels=levels,
+                operator="const")
+        else:
+            mg_levels = build_poisson_multigrid(
+                domain, n_cells, dim, dtype=dtype, levels=levels,
+                top=(data, bc_mask))
     phases["hierarchy"] = time.perf_counter() - t0
 
     # all arrays enter the jitted solve as ARGUMENTS (a closure would bake
@@ -151,18 +171,28 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
         if lv is not None:
             M = mg_preconditioner(lv, nu1=1, nu2=1,
                                   use_pallas=not interpret)
+            M_dot = mg_preconditioner(lv, nu1=1, nu2=1,
+                                      use_pallas=not interpret,
+                                      with_dot=True)
         else:
             diag_k = plan.offsets.index(0)
             d = data[diag_k]
             inv_d = jnp.where(d != 0, 1.0 / d, 1.0)
             M = lambda r: r * inv_d
+            M_dot = None
+
+        def mvd(v):
+            return stencil_matvec_dot_embedded(data, v, plan,
+                                               block_lead=block_lead,
+                                               interpret=interpret)
 
         def mv(v):
             return stencil_matvec_embedded(data, v, plan,
                                            block_lead=block_lead,
                                            interpret=interpret)
 
-        return cg(mv, b, tol=tol, maxiter=maxiter, M=M)
+        return cg(mv, b, tol=tol, maxiter=maxiter, M=M,
+                  check_every=check_every, matvec_dot=mvd, M_dot=M_dot)
 
     t0 = time.perf_counter()
     res = solve(b, data, mg_levels)
