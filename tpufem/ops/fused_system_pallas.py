@@ -446,10 +446,15 @@ def _pick_blocks(sg, K):
 
     Small fixed blocks keep every VMEM live value tiny (the Mosaic compiler
     dies silently on large per-step live sets); By must be a sublane-tile
-    multiple (8), Bz anything dividing sg[0].
+    multiple (8), Bz anything dividing sg[0].  The live set scales with
+    Bz*By*E2: 4x8 blocks fit up to E2 = 384 but exceed the 16 MB scoped
+    VMEM limit at E2 = 512 (measured 20.98 MB at 392^2 x 512), so Bz
+    halves once the block volume passes the measured-safe 12288 elements.
     """
     Bz = 4 if sg[0] % 4 == 0 else (2 if sg[0] % 2 == 0 else 1)
     By = 8 if sg[1] % 8 == 0 else sg[1]
+    while Bz > 1 and Bz * By * sg[2] > 12288:
+        Bz //= 2
     return Bz, By
 
 

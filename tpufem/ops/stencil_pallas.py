@@ -201,6 +201,12 @@ def _stencil_call(kern_fn, data, x, extras, plan, block_lead, interpret,
     K = data.shape[0]
     offsets_grid = plan.offsets_grid
 
+    if _needs_2d(sg, K, len(extras), np.dtype(x.dtype).itemsize):
+        # minor planes too large for the 1D layout's VMEM live set: run the
+        # (Bz, By)-blocked variant (ignores block_lead)
+        return _stencil_call2(_KERNEL2_OF[kern_fn], data, x, extras, plan,
+                              interpret, with_dot=with_dot, **kern_kwargs)
+
     if block_lead is None:
         block_lead = pick_block_lead(sg, K, np.dtype(x.dtype).itemsize)
     if sg[0] % block_lead:
@@ -250,6 +256,181 @@ def _stencil_call(kern_fn, data, x, extras, plan, block_lead, interpret,
             out_shape=out_shape,
             interpret=interpret,
         )(data_g, x_prev, x_g, x_next, *extras_g)
+    if with_dot:
+        return y[0].reshape(-1), y[1][0, 0]
+    return y.reshape(-1)
+
+
+# -- 2D-blocked drivers (huge grids) ------------------------------------------
+#
+# The 1D driver holds K data planes x a full minor plane per leading row in
+# VMEM; past ~300^3 even a one-row block exceeds the 16 MB VMEM limit
+# (measured OOM at 328x328x384: 18.26 MB at block_lead=1).  These variants
+# block BOTH leading axes with a (Bz, By) grid; the x halo — which now needs
+# corner values — comes from nine overlapping clamped BlockSpecs (the fused
+# assembly kernel's pattern).  That costs 9x the x traffic, but x is 4 of
+# K+5 streams, so the total rises only ~25%; clamped-edge garbage multiplies
+# the zero coefficients of embedded-border rows exactly as in the 1D case.
+
+_VMEM_1D_LIMIT = 10 << 20     # dispatch to 2D when 1D at block 1 exceeds
+
+
+def _needs_2d(sg, width, n_extras, dtype_bytes):
+    if len(sg) < 3:
+        return False
+    rest = int(np.prod(sg[1:]))
+    return 2 * (width + 4 + n_extras) * rest * dtype_bytes > _VMEM_1D_LIMIT
+
+
+def _pick_blocks2(sg, width, n_extras, dtype_bytes, budget=3 << 20):
+    """(Bz, By) for the 2D driver: both divide their axes (all embedded
+    store axes are multiples of 8); Bz halves until the estimated live set
+    fits.  The budget is deliberately ~5x under the 16 MB scoped-VMEM
+    limit: Mosaic's actual allocation (slab concats, per-offset rolls,
+    accumulators) measured ~2.5x this stream estimate (16.28 MB at an
+    estimated 6.55 at 392^2 x 512)."""
+    E2 = sg[2]
+    Bz = 8 if sg[0] % 8 == 0 else (4 if sg[0] % 4 == 0 else
+                                   (2 if sg[0] % 2 == 0 else 1))
+    By = 8
+    if sg[1] % 8:
+        By = sg[1]
+
+    def est(bz, by):
+        return 2 * (width + 9 + 1 + n_extras) * bz * by * E2 * dtype_bytes
+
+    while Bz > 1 and est(Bz, By) > budget:
+        Bz //= 2
+    while (By * 2 <= sg[1] and sg[1] % (By * 2) == 0
+           and est(Bz, By * 2) <= budget):
+        By *= 2
+    return Bz, By
+
+
+def _slab9(xs, Bz, By):
+    """(Bz+2, By+2, E2) haloed slab from nine (Bz, By, E2) neighbor blocks
+    (row-major (dz, dy) order)."""
+    def yext(a, b, c):
+        return jnp.concatenate([a[:, -1:], b[...], c[:, :1]], axis=1)
+    top = yext(xs[0], xs[1], xs[2])
+    mid = yext(xs[3], xs[4], xs[5])
+    bot = yext(xs[6], xs[7], xs[8])
+    return jnp.concatenate([top[-1:], mid, bot[:1]], axis=0)
+
+
+def _apply_stencil9(data_ref, slab, offsets_grid, Bz, By):
+    acc = None
+    for k, off in enumerate(offsets_grid):
+        dz, dy, dx = off[0], off[1], off[2]
+        base = jax.lax.slice(
+            slab, (1 + dz, 1 + dy, 0),
+            (1 + dz + Bz, 1 + dy + By, slab.shape[2]))
+        term = data_ref[k] * _shifted(base, (dx,))
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _kernel2(data_ref, *refs, offsets_grid, Bz, By):
+    xs, y_ref = refs[:9], refs[9]
+    y_ref[...] = _apply_stencil9(data_ref, _slab9(xs, Bz, By),
+                                 offsets_grid, Bz, By)
+
+
+def _kernel2_residual(data_ref, *refs, offsets_grid, Bz, By):
+    xs, b_ref, y_ref = refs[:9], refs[9], refs[10]
+    ax = _apply_stencil9(data_ref, _slab9(xs, Bz, By), offsets_grid, Bz, By)
+    y_ref[...] = b_ref[...] - ax
+
+
+def _kernel2_smooth(data_ref, *refs, offsets_grid, Bz, By, omega):
+    xs, r_ref, invd_ref, y_ref = refs[:9], refs[9], refs[10], refs[11]
+    ax = _apply_stencil9(data_ref, _slab9(xs, Bz, By), offsets_grid, Bz, By)
+    y_ref[...] = xs[4][...] + omega * invd_ref[...] * (r_ref[...] - ax)
+
+
+def _kernel2_matvec_dot(data_ref, *refs, offsets_grid, Bz, By):
+    xs, y_ref, dot_ref = refs[:9], refs[9], refs[10]
+    ax = _apply_stencil9(data_ref, _slab9(xs, Bz, By), offsets_grid, Bz, By)
+    y_ref[...] = ax
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _init():
+        dot_ref[0, 0] = jnp.zeros((), dot_ref.dtype)
+
+    dot_ref[0, 0] += jnp.sum(xs[4][...].astype(dot_ref.dtype)
+                             * ax.astype(dot_ref.dtype))
+
+
+def _kernel2_smooth_dot(data_ref, *refs, offsets_grid, Bz, By, omega):
+    xs, r_ref, invd_ref = refs[:9], refs[9], refs[10]
+    y_ref, dot_ref = refs[11], refs[12]
+    ax = _apply_stencil9(data_ref, _slab9(xs, Bz, By), offsets_grid, Bz, By)
+    y = xs[4][...] + omega * invd_ref[...] * (r_ref[...] - ax)
+    y_ref[...] = y
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _init():
+        dot_ref[0, 0] = jnp.zeros((), dot_ref.dtype)
+
+    dot_ref[0, 0] += jnp.sum(r_ref[...].astype(dot_ref.dtype)
+                             * y.astype(dot_ref.dtype))
+
+
+_KERNEL2_OF = {_kernel: _kernel2,
+               _kernel_residual: _kernel2_residual,
+               _kernel_smooth: _kernel2_smooth,
+               _kernel_matvec_dot: _kernel2_matvec_dot,
+               _kernel_smooth_dot: _kernel2_smooth_dot}
+
+
+def _stencil_call2(kern2_fn, data, x, extras, plan, interpret,
+                   with_dot=False, **kern_kwargs):
+    sg = plan.store_grid
+    K = data.shape[0]
+    Bz, By = _pick_blocks2(sg, K, len(extras),
+                           np.dtype(x.dtype).itemsize)
+    nzb, nyb = sg[0] // Bz, sg[1] // By
+    data_g = data.reshape((K,) + sg)
+    x_g = x.reshape(sg)
+    extras_g = [e.reshape(sg) for e in extras]
+
+    xblock = (Bz, By, sg[2])
+
+    def cmap(di, dj):
+        def m(zi, yj):
+            return (jnp.clip(zi + di, 0, nzb - 1),
+                    jnp.clip(yj + dj, 0, nyb - 1), 0)
+        return m
+
+    def cur(zi, yj):
+        return (zi, yj, 0)
+
+    kern = functools.partial(kern2_fn, offsets_grid=plan.offsets_grid,
+                             Bz=Bz, By=By, **kern_kwargs)
+    in_specs = [pl.BlockSpec((K,) + xblock,
+                             lambda zi, yj: (0, zi, yj, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [pl.BlockSpec(xblock, cmap(di, dj),
+                              memory_space=pltpu.VMEM)
+                 for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+    in_specs += [pl.BlockSpec(xblock, cur, memory_space=pltpu.VMEM)
+                 for _ in extras_g]
+    out_specs = pl.BlockSpec(xblock, cur, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct(sg, x.dtype)
+    if with_dot:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 1), lambda zi, yj: (0, 0),
+                                  memory_space=pltpu.SMEM))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), x.dtype))
+    with _trace_ctx(x.dtype):
+        y = pl.pallas_call(
+            kern,
+            grid=(nzb, nyb),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(data_g, *([x_g] * 9), *extras_g)
     if with_dot:
         return y[0].reshape(-1), y[1][0, 0]
     return y.reshape(-1)
@@ -374,6 +555,12 @@ def _const_stencil_call(kern_fn, code, x, extras, plan, block_lead,
         raise ValueError("plan must be built with structured_plan(embed=True)")
     sg = plan.store_grid
     g = len(sg)
+
+    if _needs_2d(sg, 3, len(extras), np.dtype(x.dtype).itemsize):
+        return _const_stencil_call2(_KERNEL2_CONST_OF[kern_fn], code, x,
+                                    extras, plan, interpret,
+                                    with_dot=with_dot, **kern_kwargs)
+
     if block_lead is None:
         block_lead = pick_block_lead(sg, 4, np.dtype(x.dtype).itemsize)
     if sg[0] % block_lead:
@@ -418,6 +605,118 @@ def _const_stencil_call(kern_fn, code, x, extras, plan, block_lead,
             out_shape=out_shape,
             interpret=interpret,
         )(c_prev, code_g, c_next, x_prev, x_g, x_next, *extras_g)
+    if with_dot:
+        return y[0].reshape(-1), y[1][0, 0]
+    return y.reshape(-1)
+
+
+# 2D-blocked const kernels (huge grids): code and x each arrive as nine
+# clamped neighbor blocks; same masking discipline as the 1D const path
+# (clamped-edge garbage feeds only rows whose c0 is 0/2, which the output
+# select discards).
+
+def _apply_const_stencil9(cs, xs, offsets_grid, weights, Bz, By):
+    cslab = _slab9(cs, Bz, By)
+    xslab = _slab9(xs, Bz, By)
+    xmask = jnp.where(cslab == 1.0, xslab, 0.0)
+    acc = None
+    for k, off in enumerate(offsets_grid):
+        dz, dy, dx = off[0], off[1], off[2]
+        base = jax.lax.slice(
+            xmask, (1 + dz, 1 + dy, 0),
+            (1 + dz + Bz, 1 + dy + By, xmask.shape[2]))
+        term = weights[k] * _shifted(base, (dx,))
+        acc = term if acc is None else acc + term
+    c0 = cs[4][...]
+    return jnp.where(c0 == 1.0, acc, 0.0) + jnp.where(c0 == 2.0,
+                                                      xs[4][...], 0.0)
+
+
+def _kernel2_const_matvec(*refs, offsets_grid, weights, Bz, By):
+    cs, xs, y_ref = refs[:9], refs[9:18], refs[18]
+    y_ref[...] = _apply_const_stencil9(cs, xs, offsets_grid, weights,
+                                       Bz, By)
+
+
+def _kernel2_const_residual(*refs, offsets_grid, weights, Bz, By):
+    cs, xs, b_ref, y_ref = refs[:9], refs[9:18], refs[18], refs[19]
+    ax = _apply_const_stencil9(cs, xs, offsets_grid, weights, Bz, By)
+    y_ref[...] = b_ref[...] - ax
+
+
+def _kernel2_const_smooth(*refs, offsets_grid, weights, inv_w0, omega,
+                          Bz, By):
+    cs, xs, r_ref, y_ref = refs[:9], refs[9:18], refs[18], refs[19]
+    ax = _apply_const_stencil9(cs, xs, offsets_grid, weights, Bz, By)
+    invd = jnp.where(cs[4][...] == 1.0, inv_w0, 1.0)
+    y_ref[...] = xs[4][...] + omega * invd * (r_ref[...] - ax)
+
+
+def _kernel2_const_smooth_dot(*refs, offsets_grid, weights, inv_w0, omega,
+                              Bz, By):
+    cs, xs, r_ref = refs[:9], refs[9:18], refs[18]
+    y_ref, dot_ref = refs[19], refs[20]
+    ax = _apply_const_stencil9(cs, xs, offsets_grid, weights, Bz, By)
+    invd = jnp.where(cs[4][...] == 1.0, inv_w0, 1.0)
+    y = xs[4][...] + omega * invd * (r_ref[...] - ax)
+    y_ref[...] = y
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _init():
+        dot_ref[0, 0] = jnp.zeros((), dot_ref.dtype)
+
+    dot_ref[0, 0] += jnp.sum(r_ref[...] * y)
+
+
+_KERNEL2_CONST_OF = {_kernel_const_matvec: _kernel2_const_matvec,
+                     _kernel_const_residual: _kernel2_const_residual,
+                     _kernel_const_smooth: _kernel2_const_smooth,
+                     _kernel_const_smooth_dot: _kernel2_const_smooth_dot}
+
+
+def _const_stencil_call2(kern2_fn, code, x, extras, plan, interpret,
+                         with_dot=False, **kern_kwargs):
+    sg = plan.store_grid
+    Bz, By = _pick_blocks2(sg, 9, len(extras),
+                           np.dtype(x.dtype).itemsize)
+    nzb, nyb = sg[0] // Bz, sg[1] // By
+    code_g = code.reshape(sg)
+    x_g = x.reshape(sg)
+    extras_g = [e.reshape(sg) for e in extras]
+    xblock = (Bz, By, sg[2])
+
+    def cmap(di, dj):
+        def m(zi, yj):
+            return (jnp.clip(zi + di, 0, nzb - 1),
+                    jnp.clip(yj + dj, 0, nyb - 1), 0)
+        return m
+
+    def cur(zi, yj):
+        return (zi, yj, 0)
+
+    kern = functools.partial(kern2_fn, offsets_grid=plan.offsets_grid,
+                             Bz=Bz, By=By, **kern_kwargs)
+    nine = [pl.BlockSpec(xblock, cmap(di, dj), memory_space=pltpu.VMEM)
+            for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+    in_specs = nine + nine + [
+        pl.BlockSpec(xblock, cur, memory_space=pltpu.VMEM)
+        for _ in extras_g]
+    out_specs = pl.BlockSpec(xblock, cur, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct(sg, x.dtype)
+    if with_dot:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 1), lambda zi, yj: (0, 0),
+                                  memory_space=pltpu.SMEM))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), x.dtype))
+    with _trace_ctx(x.dtype):
+        y = pl.pallas_call(
+            kern,
+            grid=(nzb, nyb),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*([code_g] * 9), *([x_g] * 9), *extras_g)
     if with_dot:
         return y[0].reshape(-1), y[1][0, 0]
     return y.reshape(-1)

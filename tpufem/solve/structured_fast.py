@@ -125,6 +125,12 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
 
         data, b = build(C, g_emb)
         b.block_until_ready()
+        # release the coordinate planes (3 store-grid arrays — ~1 GB at
+        # 56M DOFs): nothing downstream reads them, and at the largest
+        # single-chip sizes they are the difference between fitting and
+        # RESOURCE_EXHAUSTED during the solve
+        C = None
+        g_emb = None
     else:
         from tpufem.assemble.planar import (element_coord_views,
                                             element_load_views,
