@@ -124,6 +124,9 @@ def main():
     #     right mode for non-uniform geometry;
     #   fp32: the round-1 general hierarchy.
     pmode = os.environ.get("TPUFEM_BENCH_PRECOND", "const")
+    if pmode not in ("const", "bf16", "fp32"):
+        raise SystemExit(f"TPUFEM_BENCH_PRECOND={pmode!r}: expected "
+                         "const | bf16 | fp32")
     with timer("build_mg_hierarchy"):
         if solver == "mg":
             if pmode == "const":

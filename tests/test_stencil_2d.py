@@ -25,13 +25,8 @@ def level():
     return lv, x, r
 
 
-def _force_2d():
-    return pytest.MonkeyPatch()
-
-
 def test_2d_driver_matches_1d(level, monkeypatch):
     lv, x, r = level
-    args = dict(plan=lv.plan, interpret=True)
 
     y1 = sp.stencil_matvec_embedded(lv.data, x, lv.plan, interpret=True)
     r1 = sp.stencil_residual_embedded(lv.data, r, x, lv.plan, interpret=True)

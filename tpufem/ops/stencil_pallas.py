@@ -383,6 +383,53 @@ _KERNEL2_OF = {_kernel: _kernel2,
                _kernel_smooth_dot: _kernel2_smooth_dot}
 
 
+
+def _cmap2(di, dj, nzb, nyb):
+    def m(zi, yj):
+        return (jnp.clip(zi + di, 0, nzb - 1),
+                jnp.clip(yj + dj, 0, nyb - 1), 0)
+    return m
+
+
+def _cur2(zi, yj):
+    return (zi, yj, 0)
+
+
+def _nine_specs(xblock, nzb, nyb):
+    return [pl.BlockSpec(xblock, _cmap2(di, dj, nzb, nyb),
+                         memory_space=pltpu.VMEM)
+            for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+
+
+def _run_blocked2(kern2_fn, plan, dtype, in_specs, args, Bz, By, interpret,
+                  with_dot, **kern_kwargs):
+    """Shared pallas_call plumbing of the (Bz, By)-blocked drivers."""
+    sg = plan.store_grid
+    nzb, nyb = sg[0] // Bz, sg[1] // By
+    xblock = (Bz, By, sg[2])
+    kern = functools.partial(kern2_fn, offsets_grid=plan.offsets_grid,
+                             Bz=Bz, By=By, **kern_kwargs)
+    out_specs = pl.BlockSpec(xblock, _cur2, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct(sg, dtype)
+    if with_dot:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 1), lambda zi, yj: (0, 0),
+                                  memory_space=pltpu.SMEM))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), dtype))
+    with _trace_ctx(dtype):
+        y = pl.pallas_call(
+            kern,
+            grid=(nzb, nyb),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*args)
+    if with_dot:
+        return y[0].reshape(-1), y[1][0, 0]
+    return y.reshape(-1)
+
+
 def _stencil_call2(kern2_fn, data, x, extras, plan, interpret,
                    with_dot=False, **kern_kwargs):
     sg = plan.store_grid
@@ -393,47 +440,16 @@ def _stencil_call2(kern2_fn, data, x, extras, plan, interpret,
     data_g = data.reshape((K,) + sg)
     x_g = x.reshape(sg)
     extras_g = [e.reshape(sg) for e in extras]
-
     xblock = (Bz, By, sg[2])
-
-    def cmap(di, dj):
-        def m(zi, yj):
-            return (jnp.clip(zi + di, 0, nzb - 1),
-                    jnp.clip(yj + dj, 0, nyb - 1), 0)
-        return m
-
-    def cur(zi, yj):
-        return (zi, yj, 0)
-
-    kern = functools.partial(kern2_fn, offsets_grid=plan.offsets_grid,
-                             Bz=Bz, By=By, **kern_kwargs)
     in_specs = [pl.BlockSpec((K,) + xblock,
                              lambda zi, yj: (0, zi, yj, 0),
                              memory_space=pltpu.VMEM)]
-    in_specs += [pl.BlockSpec(xblock, cmap(di, dj),
-                              memory_space=pltpu.VMEM)
-                 for di in (-1, 0, 1) for dj in (-1, 0, 1)]
-    in_specs += [pl.BlockSpec(xblock, cur, memory_space=pltpu.VMEM)
+    in_specs += _nine_specs(xblock, nzb, nyb)
+    in_specs += [pl.BlockSpec(xblock, _cur2, memory_space=pltpu.VMEM)
                  for _ in extras_g]
-    out_specs = pl.BlockSpec(xblock, cur, memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct(sg, x.dtype)
-    if with_dot:
-        out_specs = (out_specs,
-                     pl.BlockSpec((1, 1), lambda zi, yj: (0, 0),
-                                  memory_space=pltpu.SMEM))
-        out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), x.dtype))
-    with _trace_ctx(x.dtype):
-        y = pl.pallas_call(
-            kern,
-            grid=(nzb, nyb),
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(data_g, *([x_g] * 9), *extras_g)
-    if with_dot:
-        return y[0].reshape(-1), y[1][0, 0]
-    return y.reshape(-1)
+    return _run_blocked2(kern2_fn, plan, x.dtype, in_specs,
+                         (data_g, *([x_g] * 9), *extras_g), Bz, By,
+                         interpret, with_dot, **kern_kwargs)
 
 
 def stencil_matvec_embedded(data, x, plan, *, block_lead: int | None = None,
@@ -684,42 +700,13 @@ def _const_stencil_call2(kern2_fn, code, x, extras, plan, interpret,
     x_g = x.reshape(sg)
     extras_g = [e.reshape(sg) for e in extras]
     xblock = (Bz, By, sg[2])
-
-    def cmap(di, dj):
-        def m(zi, yj):
-            return (jnp.clip(zi + di, 0, nzb - 1),
-                    jnp.clip(yj + dj, 0, nyb - 1), 0)
-        return m
-
-    def cur(zi, yj):
-        return (zi, yj, 0)
-
-    kern = functools.partial(kern2_fn, offsets_grid=plan.offsets_grid,
-                             Bz=Bz, By=By, **kern_kwargs)
-    nine = [pl.BlockSpec(xblock, cmap(di, dj), memory_space=pltpu.VMEM)
-            for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+    nine = _nine_specs(xblock, nzb, nyb)
     in_specs = nine + nine + [
-        pl.BlockSpec(xblock, cur, memory_space=pltpu.VMEM)
+        pl.BlockSpec(xblock, _cur2, memory_space=pltpu.VMEM)
         for _ in extras_g]
-    out_specs = pl.BlockSpec(xblock, cur, memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct(sg, x.dtype)
-    if with_dot:
-        out_specs = (out_specs,
-                     pl.BlockSpec((1, 1), lambda zi, yj: (0, 0),
-                                  memory_space=pltpu.SMEM))
-        out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), x.dtype))
-    with _trace_ctx(x.dtype):
-        y = pl.pallas_call(
-            kern,
-            grid=(nzb, nyb),
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(*([code_g] * 9), *([x_g] * 9), *extras_g)
-    if with_dot:
-        return y[0].reshape(-1), y[1][0, 0]
-    return y.reshape(-1)
+    return _run_blocked2(kern2_fn, plan, x.dtype, in_specs,
+                         (*([code_g] * 9), *([x_g] * 9), *extras_g),
+                         Bz, By, interpret, with_dot, **kern_kwargs)
 
 
 def const_matvec_embedded(weights, code, x, plan, *,

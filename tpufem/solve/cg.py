@@ -106,7 +106,10 @@ def cg(matvec: Callable, b, x0=None, *, tol: float = 1e-8,
         z, rz_new = M_dot(r)
         beta = jnp.where(rz > 0, rz_new / rz, 0)
         p = z + beta * p
-        bad = bad | ~jnp.isfinite(rz_new) | ~jnp.isfinite(pAp) | (pAp < 0)
+        # pAp == 0 with rz > 0 is the singular-system breakdown (with
+        # r = 0 exactly, rz = 0 and the stall is just convergence)
+        bad = (bad | ~jnp.isfinite(rz_new) | ~jnp.isfinite(pAp)
+               | (pAp < 0) | ((pAp == 0) & (rz > 0)))
         return (x, r, z, p, rz_new, k + 1, bad)
 
     def batched(state):

@@ -245,8 +245,6 @@ def _smooth(level, r, e, omega: float, use_pallas: bool):
         return const_smooth_embedded(level.weights, level.code, r, e,
                                      level.plan, omega=omega,
                                      block_lead=level.block_lead)
-    if isinstance(level, ConstMGLevel):
-        return e + omega * level.inv_diag * (r - _matvec(level, e, False))
     if use_pallas:
         return stencil_smooth_embedded(level.data, r, e, level.inv_diag,
                                        level.plan, omega=omega,
@@ -259,7 +257,7 @@ def _residual(level, r, e, use_pallas: bool):
         return const_residual_embedded(level.weights, level.code, r, e,
                                        level.plan,
                                        block_lead=level.block_lead)
-    if use_pallas and not isinstance(level, ConstMGLevel):
+    if use_pallas:
         return stencil_residual_embedded(level.data, r, e, level.plan,
                                          block_lead=level.block_lead)
     return r - _matvec(level, e, False)
