@@ -90,7 +90,10 @@ def ell_band_plan(data, cols, *, block_rows: int = 1024) -> ELLBandPlan:
         raise ValueError(
             f"matrix bandwidth {bw} exceeds block_rows {R}; renumber the "
             "mesh (RCM) or increase block_rows")
-    rel_t = np.ascontiguousarray(rel.T.astype(np.int32))      # [K, NP]
+    # window-relative positions fit int16 whenever 3R < 32768 — halves
+    # the index-plane HBM traffic (rel is K planes, same as data)
+    idx_dtype = np.int16 if 3 * R <= 32767 else np.int32
+    rel_t = np.ascontiguousarray(rel.T.astype(idx_dtype))     # [K, NP]
     data_t = np.ascontiguousarray(data.T)                      # [K, NP]
 
     # Static per-slot DELTA usage.  A row at local position (sublane t,
@@ -102,7 +105,7 @@ def ell_band_plan(data, cols, *, block_rows: int = 1024) -> ELLBandPlan:
     own_sub = (np.arange(np_rows) % R) // 128                  # [NP]
     d_lists = []
     for k in range(K):
-        d = rel_t[k] // 128 - (sub + own_sub)
+        d = rel_t[k].astype(np.int64) // 128 - (sub + own_sub)
         if d.min() < -sub or d.max() > sub:
             bw = int(np.abs(cols.astype(np.int64)
                             - np.arange(np_rows)[:, None]).max())
@@ -127,7 +130,7 @@ def _kernel(data_ref, rel_ref, xm_ref, x0_ref, xp_ref, o_ref, *, d_lists):
     y = jnp.zeros_like(x0_ref[0])
     base = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0) + sub
     for k in range(K):
-        rel = rel_ref[k, 0]
+        rel = rel_ref[k, 0].astype(jnp.int32)   # rel may be int16 on HBM
         s_idx = rel // 128
         lane = rel - s_idx * 128
         acc = None
@@ -226,7 +229,7 @@ def _block_kernel(data_ref, rel_ref, *refs, d_lists, nb_comp):
     base = jax.lax.broadcasted_iota(jnp.int32, xs[1][0].shape, 0) + sub
     y = [jnp.zeros_like(xs[1][0]) for _ in range(nb_comp)]
     for k in range(K):
-        rel = rel_ref[k, 0]
+        rel = rel_ref[k, 0].astype(jnp.int32)   # rel may be int16 on HBM
         s_idx = rel // 128
         lane = rel - s_idx * 128
         for d in range(nb_comp):
