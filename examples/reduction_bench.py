@@ -43,7 +43,8 @@ def main():
             return acc * 0.0 + jnp.sum(x * (1.0 + acc))
         return jax.lax.fori_loop(0, reps, body, 0.0)
 
-    dt = device_seconds_per_rep(lambda r: sum_many(x, r))
+    dt = device_seconds_per_rep(lambda r: sum_many(x, r),
+                                reps_low=10, reps_high=210)
     print(f"fused sum bandwidth: {n * 4 / dt / 1e9:.0f} GB/s "
           f"({n * 4 / dt / 1e9 / 819:.0%} of v5e HBM peak)")
 

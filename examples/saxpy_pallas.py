@@ -27,21 +27,18 @@ def saxpy_kernel(a_ref, x_ref, y_ref, out_ref):
 @jax.jit
 def saxpy(a, x, y):
     n = x.shape[0]
-    x2 = x.reshape(NUM_BLOCKS, -1)
-    y2 = y.reshape(NUM_BLOCKS, -1)
-    blk = x2.shape[1]
+    # blocks carry an 8-sublane middle axis (Mosaic block rule: last two
+    # block dims (8, 128)-divisible or spanning the full array dim)
+    x2 = x.reshape(NUM_BLOCKS, 8, -1)
+    y2 = y.reshape(NUM_BLOCKS, 8, -1)
+    blk8 = x2.shape[2]
+    bspec = pl.BlockSpec((1, 8, blk8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         saxpy_kernel,
         grid=(NUM_BLOCKS,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, blk), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, blk), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), bspec, bspec],
+        out_specs=bspec,
         out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
     )(a, x2, y2).reshape(n)
 

@@ -47,8 +47,15 @@ def segment_reduce(values, segment_ids, num_segments: int,
 
 
 def _block_sum_kernel(x_ref, out_ref):
-    i = pl.program_id(0)
-    out_ref[i, 0] = jnp.sum(x_ref[...])
+    # block partials accumulate into one SMEM cell across the sequential
+    # TPU grid (Mosaic cannot store scalars to VMEM, and per-block SMEM
+    # windows violate the block rule) — the TPU analogue of the
+    # shared-memory block sum
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        out_ref[0, 0] = jnp.zeros((), out_ref.dtype)
+
+    out_ref[0, 0] += jnp.sum(x_ref[...])
 
 
 def pallas_block_reduce(x, block: int = 128 * 1024, interpret: bool = False):
@@ -62,19 +69,21 @@ def pallas_block_reduce(x, block: int = 128 * 1024, interpret: bool = False):
     pad = nblk * block - n
     if pad:
         flat = jnp.pad(flat, (0, pad))
-    x2 = flat.reshape(nblk, block)
+    # blocks carry an 8-sublane middle axis: Mosaic requires the last two
+    # block dims (8, 128)-divisible or spanning the full array dim
+    x2 = flat.reshape(nblk, 8, block // 8)
     with _trace_ctx(x.dtype):
         partial = pl.pallas_call(
             _block_sum_kernel,
             grid=(nblk,),
-            in_specs=[pl.BlockSpec((1, block), lambda i: (i, 0),
+            in_specs=[pl.BlockSpec((1, 8, block // 8), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((nblk, 1), lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((nblk, 1), x.dtype),
+            out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                   memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((1, 1), x.dtype),
             interpret=interpret,
         )(x2)
-    return jnp.sum(partial)
+    return partial[0, 0]
 
 
 def reduction_check(x, device_result) -> dict:
