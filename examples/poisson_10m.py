@@ -1,19 +1,18 @@
-"""BASELINE config 5 scale demo: 10M-44M-DOF 3D Poisson on one chip.
+"""BASELINE config 5 scale demo: 10M-57M-DOF 3D Poisson on one chip.
 
 The global matrix is never formed as an indexed sparse structure — the
 stencil representation (60 B/row) plus the constant-coefficient multigrid
-hierarchy (no coefficient planes at any level) keep solves up to ~44M DOFs
+hierarchy (no coefficient planes at any level) keep solves up to 57M DOFs
 resident on a single v5e; the finest-level operator is built on-device by
-the fused Pallas kernel so setup never materializes element arrays, and
-past ~300^3 the stencil kernels switch to their (Bz, By)-blocked variants
+the fused Pallas kernel so setup never materializes element arrays, past
+~300^3 the stencil kernels switch to their (Bz, By)-blocked variants
 (ops.stencil_pallas `_needs_2d`) because a full minor plane no longer fits
-VMEM:
+VMEM, and the solve donates the RHS buffer (solve_poisson_fast) — at the
+ceiling that one plane is the margin against HBM exhaustion:
 
     python examples/poisson_10m.py            # n=224 -> 11,390,625 DOFs
     python examples/poisson_10m.py --n 320    # -> 33,076,161 DOFs
-    python examples/poisson_10m.py --n 352    # -> 43,986,977 DOFs
-                                              # (n=384/56.6M exceeds HBM:
-                                              #  the CG program peak)
+    python examples/poisson_10m.py --n 384    # -> 57,066,625 DOFs
 """
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -16,6 +16,7 @@ so setup never materializes element arrays on the host).
 """
 from __future__ import annotations
 
+import functools
 import time
 from typing import Callable, NamedTuple, Optional
 
@@ -171,8 +172,10 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
 
     # all arrays enter the jitted solve as ARGUMENTS (a closure would bake
     # them into the HLO as constants and overflow the remote compiler's
-    # request-size limit at 10M+ DOFs)
-    @jax.jit
+    # request-size limit at 10M+ DOFs); b is DONATED — nothing reads it
+    # after the solve, and its buffer is exactly the margin between
+    # fitting and HBM exhaustion at the 57M-DOF single-chip ceiling
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def solve(b, data, lv):
         if lv is not None:
             M = mg_preconditioner(lv, nu1=1, nu2=1,
