@@ -19,11 +19,60 @@ def test_entry_compiles_and_runs():
     assert float(relres) < 1e-4
 
 
-def test_dryrun_multichip(cpu_devices):
+class _PoisonedDevice:
+    """Fake ambient device handle: enumerates fine, dies on first use.
+
+    Models the round-2 driver environment, where the axon TPU plugin listed
+    8 handles whose first device_put raised FAILED_PRECONDITION (libtpu
+    version mismatch, MULTICHIP_r02.json)."""
+    platform = "tpu"
+    id = 0
+
+
+def _poison_ambient(monkeypatch):
+    real_devices = jax.devices
+    real_put = jax.device_put
+
+    def fake_devices(platform=None):
+        if platform is None:
+            return [_PoisonedDevice() for _ in range(8)]
+        return real_devices(platform)
+
+    def fake_put(x, device=None, **kw):
+        if isinstance(device, _PoisonedDevice):
+            raise RuntimeError(
+                "FAILED_PRECONDITION: libtpu version mismatch (simulated)")
+        return real_put(x, device, **kw)
+
+    monkeypatch.setattr(jax, "devices", fake_devices)
+    monkeypatch.setattr(jax, "device_put", fake_put)
+
+
+def test_dryrun_multichip_with_poisoned_ambient(cpu_devices, monkeypatch):
+    """The FULL dryrun must complete on the CPU mesh even when ambient
+    device enumeration reports 8 unusable TPU handles (VERDICT.md r2 #1)."""
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
 
+    _poison_ambient(monkeypatch)
+    monkeypatch.delenv("TPUFEM_DRYRUN_AMBIENT", raising=False)
     ge.dryrun_multichip(8)
+
+
+def test_cpu_mesh_devices_never_trusts_unprobed_ambient(cpu_devices,
+                                                        monkeypatch):
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    _poison_ambient(monkeypatch)
+    # default: ambient is never consulted -> cpu devices
+    monkeypatch.delenv("TPUFEM_DRYRUN_AMBIENT", raising=False)
+    devs = ge._cpu_mesh_devices(8)
+    assert all(d.platform == "cpu" for d in devs)
+    # opt-in: ambient is probed, the probe fails -> still cpu devices
+    monkeypatch.setenv("TPUFEM_DRYRUN_AMBIENT", "1")
+    devs = ge._cpu_mesh_devices(8)
+    assert all(d.platform == "cpu" for d in devs)
 
 
 def test_dryrun_multichip_bare_subprocess():
