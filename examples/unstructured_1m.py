@@ -1,0 +1,167 @@
+"""Unstructured 1M-row end-to-end headline: assemble + Chebyshev-PCG solve.
+
+BASELINE config 2 at the reference's ELL scale: the reference's most complete
+variant assembles a 1000x100 ELL system and stops
+(/root/reference/fea_test_sm_sym_sparse2.cu:16-17 and :273-282 — no solver
+exists).  This example takes the *million-row* version of that system all the
+way to a solved PDE on one TPU chip:
+
+  1. perturbed + randomly-renumbered triangle mesh (no stencil structure);
+  2. host RCM renumbering (native C++ path) -> bandwidth ~ one mesh line;
+  3. generic scatter assembly on device (assemble/ell.py — the reference's
+     search+atomicAdd kernel, re-done as precomputed-slot scatter-add);
+  4. Chebyshev-Jacobi PCG where every SpMV is the banded Pallas kernel
+     (auto-dispatched by ELLMatrix.matvec) — the mesh-independent(ish)
+     preconditioning VERDICT.md r2 item 5 asked for.
+
+    python examples/unstructured_1m.py [--n 1000] [--degree 14]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpufem.assemble.dense import assemble_vector
+from tpufem.assemble.ell import assemble_ell
+from tpufem.assemble.local import element_load, p1_stiffness
+from tpufem.fem.elements import P1Triangle
+from tpufem.fem.quadrature import triangle_rule
+from tpufem.mesh.adjacency import ell_pattern, reverse_cuthill_mckee
+from tpufem.mesh.core import Mesh
+from tpufem.mesh.rectangle import perturbed_rectangle_mesh
+from tpufem.solve.bc import apply_dirichlet_ell
+from tpufem.solve.cg import cg
+from tpufem.solve.poisson import model_problem_2d
+from tpufem.solve.precond import chebyshev, estimate_lambda_max, jacobi
+
+
+def rcm_renumber(mesh: Mesh, pad_to: int = 8):
+    """Renumber mesh nodes with RCM so the assembled matrix is banded."""
+    pat = ell_pattern(mesh.conn, mesh.num_nodes, pad_to=pad_to)
+    perm = reverse_cuthill_mckee(pat.cols)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=perm.dtype)
+    return Mesh(coords=np.ascontiguousarray(mesh.coords[perm]),
+                conn=inv[mesh.conn].astype(mesh.conn.dtype),
+                node_flags=np.ascontiguousarray(mesh.node_flags[perm]),
+                cell_type=mesh.cell_type)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1000,
+                    help="mesh lines per side (default 1000 -> 1,002,001 "
+                    "rows, 2M elements)")
+    ap.add_argument("--degree", type=int, default=14,
+                    help="Chebyshev polynomial degree")
+    ap.add_argument("--tol", type=float, default=1e-5)
+    ap.add_argument("--precond", choices=["chebyshev", "jacobi"],
+                    default="chebyshev")
+    ap.add_argument("--interpret", action="store_true",
+                    help="CPU smoke test (timings meaningless)")
+    args = ap.parse_args(argv)
+    n = args.n
+
+    t0 = time.perf_counter()
+    mesh = perturbed_rectangle_mesh(-3, 3, -3, 3, n, n, jitter=0.25, seed=0)
+    mesh = rcm_renumber(mesh)
+    pat = ell_pattern(mesh.conn, mesh.num_nodes, pad_to=8)
+    t_host = time.perf_counter() - t0
+    nn = mesh.num_nodes
+    bw = int(np.abs(pat.cols.astype(np.int64)
+                    - np.arange(nn)[:, None]).max())
+    print(f"# {nn} rows, {mesh.num_elements} elements, RCM bandwidth {bw}, "
+          f"host setup {t_host:.2f}s", file=sys.stderr)
+
+    element = P1Triangle()
+    rule = triangle_rule(5)
+    f, exact = model_problem_2d()
+    ec = jax.device_put(jnp.asarray(mesh.element_coords(), jnp.float32))
+    conn = jnp.asarray(mesh.conn)
+    bc = jnp.asarray(mesh.node_flags != 0)
+
+    @jax.jit
+    def build(ec):
+        Ke = p1_stiffness(ec, element)
+        data = assemble_ell(pat, Ke).data
+        be = element_load(ec, element, rule, f)
+        b = assemble_vector(conn, be, nn)
+        return data, b
+
+    t0 = time.perf_counter()
+    data, b = build(ec)
+    data.block_until_ready()
+    t_build_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    data, b = build(ec)
+    data.block_until_ready()
+    t_build = time.perf_counter() - t0
+
+    from tpufem.sparse.ell import ELLMatrix
+    A = ELLMatrix(data, jnp.asarray(pat.cols),
+                  diag_pos=jnp.asarray(pat.diag_pos))
+    A, b = apply_dirichlet_ell(A, b, bc)
+
+    t0 = time.perf_counter()
+    if args.precond == "chebyshev":
+        lmax = estimate_lambda_max(A.matvec, A.diagonal(), nn,
+                                   dtype=A.dtype)
+        M = chebyshev(A.matvec, A.diagonal(), degree=args.degree,
+                      lmax=lmax)
+    else:
+        M = jacobi(A)
+    t_precond = time.perf_counter() - t0
+
+    @jax.jit
+    def solve(b):
+        return cg(A.matvec, b, tol=args.tol, maxiter=3000, M=M,
+                  check_every=2)
+
+    t0 = time.perf_counter()
+    res = solve(b)
+    res.x.block_until_ready()
+    t_solve_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = solve(b)
+    res.x.block_until_ready()
+    t_solve = time.perf_counter() - t0
+
+    ue = exact(mesh.coords)
+    u = np.asarray(res.x)
+    err = float(np.sqrt(np.mean((u - ue) ** 2))
+                / np.sqrt(np.mean(ue ** 2)))
+    out = {
+        "metric": "unstructured_1m_assemble_chebpcg",
+        "rows": nn,
+        "elements": mesh.num_elements,
+        "rcm_bandwidth": bw,
+        "precond": args.precond,
+        "cheb_degree": args.degree if args.precond == "chebyshev" else 0,
+        "pcg_iters": int(res.iterations),
+        "relres": float(res.residual_norm),
+        "converged": bool(res.converged),
+        "assemble_ms": round(t_build * 1e3, 2),
+        "solve_ms": round(t_solve * 1e3, 2),
+        "total_ms": round((t_build + t_solve) * 1e3, 2),
+        "dofs_per_sec": round(nn / (t_build + t_solve), 1),
+        "rel_l2_error_vs_exact": err,
+        "walls_s": {"host": round(t_host, 2),
+                    "build_compile": round(t_build_wall, 2),
+                    "precond_setup": round(t_precond, 2),
+                    "solve_compile": round(t_solve_wall, 2)},
+    }
+    print(json.dumps(out))
+    if not bool(res.converged):
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()

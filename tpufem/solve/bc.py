@@ -48,7 +48,10 @@ def apply_dirichlet_dense(A, b, bc_mask, bc_values=None):
 def apply_dirichlet_ell(A: ELLMatrix, b, bc_mask, bc_values=None):
     """Symmetric Dirichlet elimination on an ELL system. Returns (A, b)."""
     mask, g = _bc_arrays(b, bc_mask, bc_values)
-    b = b - A.matvec(g)
+    # direct gather matvec: this is a one-time setup op — don't let
+    # ELLMatrix.matvec build a banded Pallas plan for the pre-BC matrix
+    from tpufem.sparse.ell import ell_matvec
+    b = b - ell_matvec(A.data, A.cols, g)
     b = jnp.where(mask, g, b)
 
     keep_row = ~mask

@@ -1,9 +1,13 @@
-"""Preconditioners: Jacobi and block-Jacobi.
+"""Preconditioners: Jacobi, block-Jacobi, and Chebyshev-Jacobi.
 
 No counterpart in the reference (it has no solver).  Jacobi is the standard
 companion of the ELL stiffness matrix (BASELINE.md config 3); block-Jacobi
-pairs with the BCSR vector-element format (config 4).  Both are pure
-elementwise / small-batched-solve ops that fuse into the CG iteration.
+pairs with the BCSR vector-element format (config 4).  Chebyshev-Jacobi is
+the mesh-size-robust choice for *unstructured* systems where geometric
+multigrid's nested grids don't exist (VERDICT.md r2 item 5): a fixed
+degree-m polynomial in D^-1 A applied per PCG iteration — m SpMVs (cheap:
+the banded Pallas kernel) traded against ~m-fold fewer CG outer iterations
+(each of which costs full-field dots + axpys and their syncs).
 """
 from __future__ import annotations
 
@@ -14,7 +18,8 @@ _HI = jax.lax.Precision.HIGHEST  # keep fp32 einsums in fp32 on TPU
 
 from tpufem.sparse.ell import ELLMatrix
 
-__all__ = ["jacobi", "jacobi_from_diagonal", "block_jacobi"]
+__all__ = ["jacobi", "jacobi_from_diagonal", "block_jacobi",
+           "chebyshev", "estimate_lambda_max"]
 
 
 def jacobi_from_diagonal(diag):
@@ -47,5 +52,76 @@ def block_jacobi(diag_blocks):
         rb = r.reshape(-1, bsize)
         out = (inv_blocks * rb[:, None, :]).sum(2)
         return out.reshape(r.shape)
+
+    return apply
+
+
+def estimate_lambda_max(matvec, diag, n, *, iters: int = 25, seed: int = 0,
+                        dtype=jnp.float32, boost: float = 1.05):
+    """Largest eigenvalue of D^-1 A by power iteration (setup-time, jitted).
+
+    ``matvec``: x -> A x;  ``diag``: the diagonal of A.  Returns a float.
+    ``boost`` inflates the estimate slightly so the Chebyshev interval is
+    guaranteed to cover the spectrum (an underestimated lmax diverges the
+    polynomial; an overestimate only costs a few percent).
+    """
+    inv_d = jnp.where(diag != 0, 1.0 / diag, 1.0).astype(dtype)
+    key = jax.random.PRNGKey(seed)
+    v0 = jax.random.normal(key, (n,), dtype)
+
+    @jax.jit
+    def run(v):
+        def body(i, carry):
+            v, _ = carry
+            w = inv_d * matvec(v)
+            lam = jnp.vdot(v, w) / jnp.vdot(v, v)
+            return w / jnp.linalg.norm(w), lam
+        return jax.lax.fori_loop(0, iters, body, (v0, jnp.zeros((), dtype)))
+
+    _, lam = run(v0)
+    return float(lam) * boost
+
+
+def chebyshev(matvec, diag, *, degree: int = 10, lmax: float,
+              lmin_ratio: float = 30.0):
+    """Chebyshev-Jacobi polynomial preconditioner r -> p_m(D^-1 A) D^-1 r.
+
+    Runs ``degree`` steps of the preconditioned Chebyshev iteration for
+    A z = r from z = 0 (Saad, "Iterative Methods for Sparse Linear
+    Systems", Alg. 12.1), targeting the interval
+    [lmax/lmin_ratio, lmax] of the Jacobi-preconditioned spectrum.  The
+    result z = p(D^-1 A) D^-1 r is linear in r with fixed coefficients and
+    symmetric positive definite (p > 0 on the covered spectrum), so it is
+    a valid CG preconditioner; the low-frequency tail below
+    lmax/lmin_ratio is left to the outer CG.
+
+    ``lmax`` must upper-bound spec(D^-1 A) — use
+    :func:`estimate_lambda_max` (an under-estimate makes the polynomial
+    amplify the top modes and CG will stall or diverge).
+    """
+    lmax = float(lmax)
+    lmin = lmax / float(lmin_ratio)
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma1 = theta / delta
+    inv_d = jnp.where(diag != 0, 1.0 / diag, 1.0)
+    m = int(degree)
+    # precompute the rho recurrence (host floats -> compile-time constants)
+    rhos = []
+    rho = 1.0 / sigma1
+    for _ in range(m):
+        rhos.append(rho)
+        rho = 1.0 / (2.0 * sigma1 - rho)
+
+    def apply(r0):
+        d = (inv_d * r0) / theta
+        z = d
+        r = r0
+        for k in range(1, m):
+            r = r - matvec(d)          # r_k (the final r_m is never needed)
+            d = rhos[k] * rhos[k - 1] * d + (2.0 * rhos[k] / delta) * (
+                inv_d * r)
+            z = z + d
+        return z
 
     return apply
