@@ -566,14 +566,29 @@ def _store(level: MGLevel, x_grid):
     return level.plan.embed_field(x_grid.reshape(-1))
 
 
+def _can_fuse_transfers(levels, li, nu2, use_pallas, fuse_transfers):
+    """Fused transfer kernels apply between consecutive 3D ConstMGLevels
+    (the uniform-box preconditioner hierarchy) on the Pallas path."""
+    return (fuse_transfers and use_pallas and nu2 >= 1
+            and isinstance(levels[li], ConstMGLevel)
+            and isinstance(levels[li + 1], ConstMGLevel)
+            and len(levels[li].plan.info.node_grid) == 3)
+
+
 def v_cycle(levels: List[MGLevel], r, *, li: int = 0, nu1: int = 2,
             nu2: int = 2, omega: float = 0.8, use_pallas: bool = True,
-            final_dot: bool = False):
+            final_dot: bool = False, fuse_transfers: bool = True):
     """One V-cycle for A e = r on level li (embedded vectors). Returns e.
 
     ``final_dot=True`` (needs nu2 >= 1, top level only): the last fine-level
     smooth runs the fused dot kernel and the cycle returns ``(e, <r, e>)`` —
     exactly the rz product PCG needs next, saving one full (r, z) read.
+
+    ``fuse_transfers``: on the 3D ConstMGLevel Pallas path, run the
+    residual->restrict and prolong->add->smooth chains as single Pallas
+    kernels (ops/mg_transfer_pallas.py) — the round-2 transfer chain was
+    ~45% of the V-cycle while the smoothers ran at HBM speed-of-light
+    (VERDICT.md r2 item 4).
     """
     level = levels[li]
     dim = len(level.plan.info.node_grid)
@@ -592,9 +607,35 @@ def v_cycle(levels: List[MGLevel], r, *, li: int = 0, nu1: int = 2,
             e = _smooth(level, r, e, omega, use_pallas)
         return e
 
+    fused = _can_fuse_transfers(levels, li, nu2, use_pallas, fuse_transfers)
+
     e = omega * level.inv_diag * r            # first Jacobi sweep from e = 0
     for _ in range(nu1 - 1):
         e = _smooth(level, r, e, omega, use_pallas)
+
+    if fused:
+        from tpufem.ops.mg_transfer_pallas import (
+            const_prolong_add_smooth_embedded,
+            const_residual_restrict_embedded)
+        rc = const_residual_restrict_embedded(
+            level.weights, level.code, levels[li + 1].code, r, e,
+            level.plan, levels[li + 1].plan)
+        ec = v_cycle(levels, rc, li=li + 1, nu1=nu1, nu2=nu2, omega=omega,
+                     use_pallas=use_pallas, fuse_transfers=fuse_transfers)
+        if final_dot and nu2 == 1:
+            return const_prolong_add_smooth_embedded(
+                level.weights, level.code, ec, r, e, level.plan,
+                levels[li + 1].plan, omega=omega, with_dot=True)
+        e = const_prolong_add_smooth_embedded(
+            level.weights, level.code, ec, r, e, level.plan,
+            levels[li + 1].plan, omega=omega)
+        for _ in range(nu2 - 1 - (1 if final_dot else 0)):
+            e = _smooth(level, r, e, omega, use_pallas)
+        if final_dot:
+            return const_smooth_dot_embedded(
+                level.weights, level.code, r, e, level.plan, omega=omega,
+                block_lead=level.block_lead)
+        return e
 
     resid = _residual(level, r, e, use_pallas)
     rc_grid = restrict(_grid(level, resid), dim)
@@ -602,7 +643,7 @@ def v_cycle(levels: List[MGLevel], r, *, li: int = 0, nu1: int = 2,
     rc = jnp.where(levels[li + 1].bc_mask, 0, rc)
 
     ec = v_cycle(levels, rc, li=li + 1, nu1=nu1, nu2=nu2, omega=omega,
-                 use_pallas=use_pallas)
+                 use_pallas=use_pallas, fuse_transfers=fuse_transfers)
 
     ef_grid = prolong(_grid(levels[li + 1], ec), dim)
     e = e + _store(level, ef_grid)
@@ -625,7 +666,8 @@ def v_cycle(levels: List[MGLevel], r, *, li: int = 0, nu1: int = 2,
 
 def mg_preconditioner(levels: List[MGLevel], *, nu1: int = 2, nu2: int = 2,
                       omega: float = 0.8, use_pallas: bool = True,
-                      with_dot: bool = False) -> Callable:
+                      with_dot: bool = False,
+                      fuse_transfers: bool = True) -> Callable:
     """M^-1 r = one V-cycle — SPD, usable directly in tpufem.solve.cg.
 
     ``with_dot=True`` returns an ``M_dot`` for cg/cg_fixed: apply(r) ->
@@ -636,9 +678,11 @@ def mg_preconditioner(levels: List[MGLevel], *, nu1: int = 2, nu2: int = 2,
             # a single-level hierarchy is just the coarse solve — no final
             # smoother pass exists to fuse the dot into
             z = v_cycle(levels, r, nu1=nu1, nu2=nu2, omega=omega,
-                        use_pallas=use_pallas)
+                        use_pallas=use_pallas,
+                        fuse_transfers=fuse_transfers)
             return z, jnp.vdot(r, z)
         return v_cycle(levels, r, nu1=nu1, nu2=nu2, omega=omega,
-                       use_pallas=use_pallas, final_dot=with_dot)
+                       use_pallas=use_pallas, final_dot=with_dot,
+                       fuse_transfers=fuse_transfers)
 
     return apply
