@@ -14,12 +14,15 @@ VERDICT.md r2 item 4).  These kernels collapse each chain into one pass:
       reads ec (1/8) + code/r/e, writes e' — ~4.1 passes replacing ~10.
 
 R/P structure (solve/multigrid.py): P = W . inject2, R = sample2 . W with
-W = I + 0.5*(mesh adjacency stencil).  Sampling/injection use stride-2
-slices / strided .at[].set on the minor axes (validated Mosaic lowerings)
-and static row unrolling on the leading axis; W and the operator A are the
-same slab-shift arithmetic as ops/stencil_pallas.py.  Only the
-constant-coefficient (uniform-box preconditioner) 3D path is fused — the
-general-data path keeps the composed implementation.
+W = I + 0.5*(mesh adjacency stencil).  Mosaic's hardware lowering rejects
+stride-2 vector slices on the minor axes ('vector.extract_strided_slice'
+strides must be < 2 — found running on the chip, interpret mode accepts
+them), so minor-axis sampling/injection run as exact 0/1 selection-matrix
+matmuls on the MXU; the leading axis uses static row unrolling.  W and
+the operator A are the same slab-shift arithmetic as
+ops/stencil_pallas.py.  Only the constant-coefficient (uniform-box
+preconditioner) 3D path is fused — the general-data path keeps the
+composed implementation.
 
 Semantics mirror the unfused composition exactly (same masking: resid
 follows _apply_const_stencil, rc is zeroed at coarse Dirichlet/padding
@@ -55,6 +58,22 @@ def transfer_block(fine_sg, coarse_sg) -> int:
 def _take_rows(x_g, idx):
     """Gather leading-axis rows (host-computed static indices)."""
     return jnp.take(x_g, jnp.asarray(idx), axis=0)
+
+
+# Selection matmuls are exact: each output element is 1.0*value plus
+# zeros, and HIGHEST keeps f32 operands un-rounded on the MXU.
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _sample_matrix(c_s, cn, f, dtype, transposed=False):
+    """0/1 selection matrix S with S[1+i, 2i+1] = 1 for i in [0, cn):
+    left-multiplying samples odd fine minor-coords into coarse store
+    coords (offset by the embedded layout's border column).  Shape
+    [c_s, f], or [f, c_s] when ``transposed`` (the injection adjoint)."""
+    shape = (f, c_s) if transposed else (c_s, f)
+    p = jax.lax.broadcasted_iota(jnp.int32, shape, 1 if transposed else 0)
+    q = jax.lax.broadcasted_iota(jnp.int32, shape, 0 if transposed else 1)
+    return ((q == 2 * p - 1) & (p >= 1) & (p <= cn)).astype(dtype)
 
 
 def _shifted(base, off_minor):
@@ -97,8 +116,8 @@ def _kern_rr(cc_ref, c3_ref, cb_ref, r3_ref, rb_ref, e3_ref, eb_ref,
 
     Slabs cover fine store rows [2*c0-3, 2*c0+2*Bc); resid is computed on
     [2*c0-2, 2*c0+2*Bc-1); W + z-sampling unrolls over the Bc coarse rows
-    (max resid row accessed: fine 2*c0+2*Bc-2); minor sampling is one
-    stride-2 slice."""
+    (max resid row accessed: fine 2*c0+2*Bc-2); minor sampling is a pair
+    of selection matmuls per coarse row."""
     c_slab = jnp.concatenate([c3_ref[0], cb_ref[...]], axis=0)
     r_slab = jnp.concatenate([r3_ref[0], rb_ref[...]], axis=0)
     e_slab = jnp.concatenate([e3_ref[0], eb_ref[...]], axis=0)
@@ -108,6 +127,11 @@ def _kern_rr(cc_ref, c3_ref, cb_ref, r3_ref, rb_ref, e3_ref, eb_ref,
     resid = r_mid - ax                      # index j <-> fine row 2c0-2+j
 
     adj = _adjacency_offsets_3d()
+    cny, cnx = cn_minor
+    cy_s, cx_s = c_minor_sg
+    fy, fx = resid.shape[1], resid.shape[2]
+    Sy = _sample_matrix(cy_s, cny, fy, resid.dtype)            # [cy_s, fy]
+    SxT = _sample_matrix(cx_s, cnx, fx, resid.dtype, True)     # [fx, cx_s]
     wrows = []
     for t in range(Bc):
         # coarse store row c0+t: fine center row 2(c0+t)-1 -> resid idx 2t+1
@@ -115,12 +139,10 @@ def _kern_rr(cc_ref, c3_ref, cb_ref, r3_ref, rb_ref, e3_ref, eb_ref,
         acc = resid[s]
         for (dz, dy, dx) in adj:
             acc = acc + 0.5 * _shifted(resid[s + dz], (dy, dx))
-        wrows.append(acc)
-    w = jnp.stack(wrows)                    # [Bc, fy, fx]
-    cny, cnx = cn_minor
-    sub = jax.lax.slice(w, (0, 1, 1), (Bc, 2 * cny, 2 * cnx), (1, 2, 2))
-    cy_s, cx_s = c_minor_sg
-    rc = jnp.pad(sub, ((0, 0), (1, cy_s - cny - 1), (1, cx_s - cnx - 1)))
+        # minor-axis stride-2 sample + embed-pad as Sy @ acc @ SxT
+        wrows.append(jnp.dot(Sy, jnp.dot(acc, SxT, precision=_PREC),
+                             precision=_PREC))
+    rc = jnp.stack(wrows)                   # [Bc, cy_s, cx_s]
     o_ref[...] = jnp.where(cc_ref[...] == 1.0, rc, 0.0)
 
 
@@ -204,10 +226,22 @@ def _kern_pas(ecb_ref, ec2_ref, c1m_ref, cb_ref, c1p_ref, r_ref,
     cny, cnx = cn_minor
     fy, fx = f_minor
     ec = jnp.concatenate([ecb_ref[...], ec2_ref[0]], axis=0)  # [Bc2+2,...]
-    sub = jax.lax.slice(ec, (0, 1, 1), (Bc2 + 2, 1 + cny, 1 + cnx))
-    up = jnp.zeros((Bf + 4, fy, fx), ec.dtype)
-    # coarse row c0+u injects into fine row 2(c0+u)-1 = slab idx 2u+1
-    up = up.at[1:2 * (Bc2 + 2):2, 1:2 * cny:2, 1:2 * cnx:2].set(sub)
+    cy_s, cx_s = ec.shape[1], ec.shape[2]
+    # coarse row c0+u injects into fine row 2(c0+u)-1 = slab idx 2u+1;
+    # minor-axis odd-coord injection is the selection-matmul adjoint:
+    # plane = Sy^T @ ec[u] @ Sx  (even fine rows stay zero)
+    SyT = _sample_matrix(cy_s, cny, fy, ec.dtype, True)        # [fy, cy_s]
+    Sx = _sample_matrix(cx_s, cnx, fx, ec.dtype)               # [cx_s, fx]
+    zero_plane = jnp.zeros((fy, fx), ec.dtype)
+    planes = []
+    for j in range(Bf + 4):
+        if j % 2:
+            u = (j - 1) // 2
+            planes.append(jnp.dot(SyT, jnp.dot(ec[u], Sx, precision=_PREC),
+                                  precision=_PREC))
+        else:
+            planes.append(zero_plane)
+    up = jnp.stack(planes)                 # [Bf+4, fy, fx]
 
     adj = _adjacency_offsets_3d()
     wmid = jax.lax.slice_in_dim(up, 1, Bf + 3, axis=0)
