@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -62,6 +63,7 @@ from tpufem.solve.multigrid import (_apply_bc_numpy, _embed_grid_numpy,
                                     mg_preconditioner)
 from tpufem.solve.poisson import model_problem_3d, model_problem_3d_planes
 from tpufem.solve.refine import refined_stencil_solve
+from tpufem.utils.aot import CompiledCache
 from tpufem.utils.timing import PhaseTimer, device_seconds_per_rep
 
 BASELINE_DOFS_PER_SEC = 1.2e8   # estimated A100 CUDA pipeline (see docstring)
@@ -102,7 +104,14 @@ def main():
     # ---- single-pass fused system build (Pallas): stiffness + RHS + BC ----
     diag_k = plan.offsets.index(0)
 
-    @jax.jit
+    # Every top-level program goes through the AOT executable cache
+    # (tpufem/utils/aot.py): under the axon relay the server-side XLA
+    # compile of these Pallas programs fluctuates 40-310 s each
+    # (BENCH_r02 build_system_wall); a cache hit deserializes the compiled
+    # executable in seconds.  Traceable fns stay plain so the rep-loop
+    # programs can inline them.
+    aot = CompiledCache()
+
     def build_system(C):
         A, b = build_poisson_system_pallas(plan, C, bc_mask, f_planes,
                                            rule, interpret=interp)
@@ -111,7 +120,8 @@ def main():
         return A.data, b, inv_d
 
     with timer("build_system_wall"):
-        data, b, inv_d = build_system(X)
+        build_system_x = aot.get(build_system, (X,), tag="build_system")
+        data, b, inv_d = build_system_x(X)
         _ = float(b[0])
 
     # Preconditioner variants (CG always iterates on the fused-assembled
@@ -153,7 +163,6 @@ def main():
             precond_dot = None
 
     # ---- timed: full assembly (stiffness + RHS + BC), rep-difference ----
-    @jax.jit
     def asm_reps(X, reps):
         def body(i, carry):
             eps = carry[0, 0] * 1e-30   # loop-carried dependence
@@ -162,13 +171,25 @@ def main():
         return jax.lax.fori_loop(
             0, reps, body, jnp.zeros((len(offsets), ns), dtype))
 
+    with timer("compile_asm_reps"):
+        asm_reps_x = aot.get(asm_reps, (X, jnp.int32(2)), tag="asm_reps")
+
     def measure_asm():
         return device_seconds_per_rep(
-            lambda r: asm_reps(X, jnp.int32(r)), reps_low=2, reps_high=22)
+            lambda r: asm_reps_x(X, jnp.int32(r)), reps_low=2, reps_high=22)
 
     t_asm = measure_asm()
 
     # ---- one jitted PCG used for both timing and convergence ----
+    # The operator is reshaped to its [K, *store_grid] kernel layout ONCE
+    # per program, outside the iteration loop: a [K, NS] jit *argument*
+    # reshaped inside the loop body costs a full 83 MB relayout copy every
+    # iteration that XLA does not hoist — measured 0.50 vs 0.23 ms/iter at
+    # n=96 (closure-baked constants and pre-shaped arguments are equally
+    # fast; the 2D argument is not).
+    def as_grid(data):
+        return data.reshape((len(offsets),) + tuple(plan.store_grid))
+
     def mv_of(data):
         return lambda v: stencil_matvec_embedded(
             data, v, plan, block_lead=block_lead, interpret=interp)
@@ -177,11 +198,19 @@ def main():
         return lambda v: stencil_matvec_dot_embedded(
             data, v, plan, block_lead=block_lead, interpret=interp)
 
-    @jax.jit
-    def pcg_run(data, b, iters):
-        x, r = cg_fixed(mv_of(data), b, iters, M=precond,
-                        matvec_dot=mvd_of(data), M_dot=precond_dot)
+    def pcg_run_fn(data, b, iters):
+        dg = as_grid(data)
+        x, r = cg_fixed(mv_of(dg), b, iters, M=precond,
+                        matvec_dot=mvd_of(dg), M_dot=precond_dot)
         return x, jnp.linalg.norm(r) / jnp.linalg.norm(b)
+
+    # The solve-family programs are NOT AOT-cached: their serialized
+    # executables are ~100 MB and deserialize_and_load under the axon relay
+    # measured 31-119 s — worse than their 8-11 s compiles.  The cache only
+    # wins for the small build/assembly programs (0.7 s loads).
+    with timer("compile_pcg"):
+        pcg_run = jax.jit(pcg_run_fn)
+        pcg_run(data, b, jnp.int32(4))[1].block_until_ready()
 
     reps_hi = 60 if solver == "mg" else 210
 
@@ -190,7 +219,14 @@ def main():
             lambda r: pcg_run(data, b, jnp.int32(r)),
             reps_low=5, reps_high=reps_hi)
 
-    t_iter = measure_iter()
+    # Iteration stream bound: the physical floor for one PCG iteration
+    # (operator planes + vector passes at HBM peak).  Used below as the
+    # capture self-check (VERDICT r2 item 2): a sample far above it is a
+    # multi-tenant slow window, not the program.
+    iter_bytes = (len(offsets) * ns + 7 * ns) * 4   # data + ~7 vector passes
+    iter_floor_s = iter_bytes / 819.0e9
+
+    iter_samples = [measure_iter()]
 
     # ---- convergence: iterations to 1e-5 relative residual (fp32) ----
     if solver == "mg":
@@ -206,25 +242,32 @@ def main():
 
     # ---- guarded product-API cg() to the same tolerance (VERDICT item 10:
     # the convergence-checked while_loop the user actually calls) ----
-    @jax.jit
-    def cg_guarded_run(data, b, eps):
-        res = cg(mv_of(data), b + eps, tol=1e-5, maxiter=iters + 4,
-                 M=precond, check_every=4, matvec_dot=mvd_of(data),
+    def cg_guarded_run_fn(data, b, eps):
+        dg = as_grid(data)
+        res = cg(mv_of(dg), b + eps, tol=1e-5, maxiter=iters + 4,
+                 M=precond, check_every=4, matvec_dot=mvd_of(dg),
                  M_dot=precond_dot)
         return res.x, res.residual_norm, res.iterations
 
-    @jax.jit
     def guarded_reps(data, b, reps):
         def body(i, carry):
-            x, _, _ = cg_guarded_run(data, b, carry[0] * 1e-30)
+            x, _, _ = cg_guarded_run_fn(data, b, carry[0] * 1e-30)
             return x
         return jax.lax.fori_loop(0, reps, body, jnp.zeros_like(b))
 
+    with timer("compile_guarded"):
+        eps0 = jnp.zeros((), dtype)
+        cg_guarded_run = jax.jit(cg_guarded_run_fn)
+        guarded_reps_x = jax.jit(guarded_reps)
+        guarded_reps_x(data, b, jnp.int32(1)).block_until_ready()
+
     t_guard = device_seconds_per_rep(
-        lambda r: guarded_reps(data, b, jnp.int32(r)), reps_low=1,
+        lambda r: guarded_reps_x(data, b, jnp.int32(r)), reps_low=1,
         reps_high=6)
-    _, relres_g, iters_g = cg_guarded_run(data, b, jnp.zeros((), dtype))
+    _, relres_g, iters_g = cg_guarded_run(data, b, eps0)
     iters_g, relres_g = int(iters_g), float(relres_g)
+
+    iter_samples.append(measure_iter())     # 2nd spaced sample
 
     # ---- time-to-1e-8: mixed-precision refinement (VERDICT item 5) ----
     # fp64 residual operator: analytic assembly is exact on the uniform box
@@ -235,37 +278,49 @@ def main():
     data64 = jax.device_put(jnp.asarray(raw64))
     del raw64
 
-    @jax.jit
-    def refined_run(data, data64, b):
+    def refined_run_fn(data, data64, b):
+        dg = as_grid(data)
         return refined_stencil_solve(
             data, data64, offsets, b.astype(jnp.float64), precond,
             tol=1e-8, inner_iters=12, max_outer=6,
-            matvec32=mv_of(data), matvec_dot32=mvd_of(data),
+            matvec32=mv_of(dg), matvec_dot32=mvd_of(dg),
             M_dot=precond_dot)
 
-    @jax.jit
     def refined_reps(data, data64, b, reps):
         def body(i, carry):
-            res = refined_run(data, data64, b + carry[0].astype(dtype)
-                              * 1e-30)
+            res = refined_run_fn(data, data64, b + carry[0].astype(dtype)
+                                 * 1e-30)
             return res.x
         return jax.lax.fori_loop(
             0, reps, body, jnp.zeros_like(b, jnp.float64))
 
+    with timer("compile_refined"):
+        refined_run = jax.jit(refined_run_fn)
+        refined_reps_x = jax.jit(refined_reps)
+        refined_reps_x(data, data64, b, jnp.int32(1)).block_until_ready()
+
     t_refined = device_seconds_per_rep(
-        lambda r: refined_reps(data, data64, b, jnp.int32(r)), reps_low=1,
+        lambda r: refined_reps_x(data, data64, b, jnp.int32(r)), reps_low=1,
         reps_high=5)
     res8 = refined_run(data, data64, b)
     relres8 = float(res8.residual_norm)
     outers8 = int(res8.outer_iterations)
 
-    # re-measure the two headline timings now that ~minutes have passed and
-    # take the min: the shared chip's throughput drifts in sustained
-    # multi-tenant windows (BENCH_NOTES "Timing on a multi-tenant chip"),
-    # and two samples spaced across the run escape a slow window that a
-    # single burst — however many trials — cannot
+    # Capture hardening (VERDICT r2 item 2): the shared chip's throughput
+    # drifts in sustained multi-tenant windows (BENCH_NOTES "Timing on a
+    # multi-tenant chip"), so the headline timings take the MIN over >=3
+    # samples spaced minutes apart across the run — and if the min still
+    # sits far above the physical stream floor, the whole run landed in a
+    # slow window: keep re-sampling (bounded) until it drops or attempts
+    # run out, and report the spread.
     t_asm = min(t_asm, measure_asm())
-    t_iter = min(t_iter, measure_iter())
+    iter_samples.append(measure_iter())     # 3rd spaced sample
+    for _ in range(4):
+        if min(iter_samples) <= 2.5 * iter_floor_s:
+            break
+        time.sleep(10.0)                    # escape the slow window
+        iter_samples.append(measure_iter())
+    t_iter = min(iter_samples)
 
     # solution quality vs exact manufactured solution
     coords = coords_grid.reshape(3, -1).T          # [NN, 3], x fastest
@@ -280,7 +335,6 @@ def main():
     # HBM speed-of-light fractions (node coords in, system out)
     asm_bytes = (3 * X.size + (len(offsets) + 2) * ns) * 4
     asm_sol = asm_bytes / t_asm / 1e9 / 819.0
-    iter_bytes = (len(offsets) * ns + 7 * ns) * 4   # data + ~7 vector passes
     iter_sol = iter_bytes / t_iter / 1e9 / 819.0
 
     report = {
@@ -309,7 +363,10 @@ def main():
         "refined_outer_iters": outers8,
         "refined_inner_iters_total": outers8 * 12,
         "rel_l2_error_vs_exact": err,
+        "pcg_iter_samples_ms": [round(s * 1e3, 4) for s in iter_samples],
+        "pcg_iter_floor_ms": round(iter_floor_s * 1e3, 4),
         "phases_s": {k: round(v, 3) for k, v in timer.report().items()},
+        "aot_cache": aot.stats,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(report))

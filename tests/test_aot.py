@@ -1,0 +1,90 @@
+"""AOT executable cache (tpufem.utils.aot).
+
+The reference pays an NVRTC compile every run (--define-macro
+parameterization, /root/reference/fea_symbolic_nvrtc.cpp:511-525); the TPU
+framework instead persists compiled XLA executables across processes.
+These tests exercise the cache on the CPU backend: miss -> save -> hit,
+result equality, and corrupt-file fallback.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpufem.utils.aot import CompiledCache
+
+
+def _fn(x, y):
+    return jnp.tanh(x @ y) + 1.0, (x * 2.0).sum()
+
+
+@pytest.fixture
+def cache(tmp_path):
+    return CompiledCache(directory=str(tmp_path))
+
+
+def test_miss_then_hit(cache):
+    x = jnp.ones((8, 8), jnp.float32)
+    y = jnp.full((8, 8), 0.5, jnp.float32)
+    c1 = cache.get(_fn, (x, y), tag="t")
+    assert cache.stats["t"]["event"] in ("miss", "disabled")
+    out1 = c1(x, y)
+
+    c2 = cache.get(_fn, (x, y), tag="t")
+    if cache.stats["t"]["event"] == "hit":       # serialize supported here
+        out2 = c2(x, y)
+        np.testing.assert_array_equal(np.asarray(out1[0]),
+                                      np.asarray(out2[0]))
+        np.testing.assert_array_equal(np.asarray(out1[1]),
+                                      np.asarray(out2[1]))
+
+
+def test_distinct_shapes_distinct_entries(cache):
+    x8 = jnp.ones((8, 8), jnp.float32)
+    x4 = jnp.ones((4, 4), jnp.float32)
+    cache.get(_fn, (x8, x8), tag="a")
+    cache.get(_fn, (x4, x4), tag="a")
+    assert cache.stats["a"]["event"] in ("miss", "disabled")  # second is new
+
+
+def test_corrupt_file_falls_back(cache):
+    x = jnp.ones((8, 8), jnp.float32)
+    cache.get(_fn, (x, x), tag="c")
+    files = [f for f in os.listdir(cache.directory) if f.startswith("c-")]
+    if not files:                                # serialize unsupported here
+        pytest.skip("backend cannot serialize executables")
+    path = os.path.join(cache.directory, files[0])
+    with open(path, "wb") as fh:
+        fh.write(b"garbage")
+    c = cache.get(_fn, (x, x), tag="c")          # must not raise
+    out = c(x, x)
+    assert np.isfinite(np.asarray(out[0])).all()
+    assert "load_failed" in cache.stats["c"]["event"]
+
+
+def test_disabled_by_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("TPUFEM_AOT_CACHE", "0")
+    cache = CompiledCache(directory=str(tmp_path))
+    x = jnp.ones((4, 4), jnp.float32)
+    c = cache.get(_fn, (x, x), tag="d")
+    c(x, x)
+    assert cache.stats["d"]["event"] == "disabled"
+    assert not os.listdir(tmp_path)
+
+
+def test_donated_args_roundtrip(cache):
+    def donating(b, a):
+        return b * 2.0 + a
+
+    b = jnp.ones((16,), jnp.float32)
+    a = jnp.full((16,), 3.0, jnp.float32)
+    c1 = cache.get(donating, (b, a), tag="don", donate_argnums=(0,))
+    out1 = np.asarray(c1(jnp.ones((16,), jnp.float32), a))
+    c2 = cache.get(donating, (jnp.ones((16,), jnp.float32), a), tag="don",
+                   donate_argnums=(0,))
+    out2 = np.asarray(c2(jnp.ones((16,), jnp.float32), a))
+    np.testing.assert_array_equal(out1, out2)
+    np.testing.assert_allclose(out1, 5.0)

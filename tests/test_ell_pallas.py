@@ -193,3 +193,37 @@ def test_ellmatrix_dispatch_inside_jit_closure():
     ref = np.asarray(ell_matvec(jnp.asarray(data), jnp.asarray(cols), x))
     err = np.abs(np.asarray(y) - ref).max() / np.abs(ref).max()
     assert err < 1e-6, err
+
+
+def test_per_block_delta_kernel_matches_static():
+    """The per-block SMEM delta-table kernel (plan.dtab) must be bit-exact
+    vs the static global-union kernel on the same plan."""
+    rng = np.random.default_rng(7)
+    data, cols = _random_banded(rng, 6000, 8, 700, )
+    x = rng.standard_normal(6000).astype(np.float32)
+    plan = ell_band_plan(data, cols, block_rows=1024)
+    assert plan.dtab is not None
+    # the table must cover fewer rounds per block than the global union
+    dmax = plan.dtab.shape[2]
+    assert dmax <= max(len(d) for d in plan.d_lists)
+    args = (jnp.asarray(plan.data_t), jnp.asarray(plan.rel), jnp.asarray(x))
+    y_pb = ell_matvec_pallas(plan, *args, interpret=True, per_block=True)
+    y_st = ell_matvec_pallas(plan, *args, interpret=True, per_block=False)
+    # the kernels accumulate their gather rounds in different orders, so
+    # agreement is to fp32 roundoff, not bit-exact
+    np.testing.assert_allclose(np.asarray(y_pb), np.asarray(y_st),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_plan_without_table_dispatches_static():
+    rng = np.random.default_rng(8)
+    data, cols = _random_banded(rng, 2000, 8, 200, )
+    x = rng.standard_normal(2000).astype(np.float32)
+    plan = ell_band_plan(data, cols, block_rows=512, per_block=False)
+    assert plan.dtab is None
+    y = ell_matvec_pallas(plan, jnp.asarray(plan.data_t),
+                          jnp.asarray(plan.rel), jnp.asarray(x),
+                          interpret=True)
+    ref = np.asarray(ell_matvec(jnp.asarray(data), jnp.asarray(cols),
+                                jnp.asarray(x)))
+    assert np.abs(np.asarray(y) - ref).max() / np.abs(ref).max() < 1e-6

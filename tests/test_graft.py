@@ -103,7 +103,8 @@ def test_examples_importable():
 
     for name in ["poisson_2d", "poisson_3d_multigrid", "reduction_bench",
                  "saxpy_pallas", "aot_compile", "heat_equation",
-                 "poisson_10m", "elasticity_1m"]:
+                 "poisson_10m", "elasticity_1m", "unstructured_1m",
+                 "generic_assembly_20m"]:
         path = pathlib.Path("/root/repo/examples") / f"{name}.py"
         spec = importlib.util.spec_from_file_location(name, path)
         mod = importlib.util.module_from_spec(spec)

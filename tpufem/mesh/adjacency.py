@@ -201,12 +201,17 @@ class ELLPattern:
         return self.cols.shape[1]
 
 
-def ell_pattern(conn: np.ndarray, num_nodes: int, pad_to: int | None = None
-                ) -> ELLPattern:
+def ell_pattern(conn: np.ndarray, num_nodes: int, pad_to: int | None = None,
+                with_sort_plan: bool = True) -> ELLPattern:
     """Build the ELL pattern and the full scatter plan for assembly.
 
     ``pad_to`` rounds the row width up (e.g. 8 in 2D, 16 in 3D) so the
     [NN, K] value array tiles cleanly onto the TPU's 8x128 vector lanes.
+
+    ``with_sort_plan=False`` skips the argsort-based plan consumed only by
+    ``assemble_ell(method="sort")`` — at reference scale (20M elements,
+    /root/reference/fea_test_sm_sym_sparse.cu:14-19) the 180M-entry host
+    argsort dominates setup and the scatter method never reads it.
     """
     npe = conn.shape[1]
     unique_keys, urows, ucols, keys = _unique_pairs(conn, num_nodes)
@@ -228,8 +233,11 @@ def ell_pattern(conn: np.ndarray, num_nodes: int, pad_to: int | None = None
     slot_flat = entry_rows * K + (u - row_start[entry_rows])
     slots = slot_flat.reshape(-1, npe, npe).astype(np.int32)
 
-    perm = np.argsort(slot_flat, kind="stable")
-    sorted_slots = slot_flat[perm].astype(np.int32)
+    if with_sort_plan:
+        perm = np.argsort(slot_flat, kind="stable")
+        sorted_slots = slot_flat[perm].astype(np.int32)
+    else:
+        perm = sorted_slots = None
 
     # Within-row position of the diagonal (self-pairs are always present).
     diag_keys = np.arange(num_nodes, dtype=np.int64) * (num_nodes + 1)

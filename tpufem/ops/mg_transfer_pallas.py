@@ -57,7 +57,7 @@ def transfer_block(fine_sg, coarse_sg) -> int:
 
 def _take_rows(x_g, idx):
     """Gather leading-axis rows (host-computed static indices)."""
-    return jnp.take(x_g, jnp.asarray(idx), axis=0)
+    return jnp.take(x_g, jnp.asarray(idx, jnp.int32), axis=0)
 
 
 # Selection matmuls are exact: each output element is 1.0*value plus

@@ -16,7 +16,6 @@ so setup never materializes element arrays on the host).
 """
 from __future__ import annotations
 
-import functools
 import time
 from typing import Callable, NamedTuple, Optional
 
@@ -56,7 +55,8 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
                        rhs_mode: str = "quadrature",
                        precond: str = "const",
                        check_every: int = 4,
-                       interpret: bool = False) -> FastSolution:
+                       interpret: bool = False,
+                       aot_cache: Optional[bool] = None) -> FastSolution:
     """Assemble + solve -Δu = f on (domain)^dim with n_cells^dim cells.
 
     ``f_planes(x, y[, z])`` takes coordinate planes and returns one plane
@@ -76,8 +76,25 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
 
     ``check_every``: CG convergence-check batching (solve.cg) — the
     default recovers fixed-iteration pipelining within ~5%.
+
+    ``aot_cache``: persist compiled executables across processes
+    (tpufem.utils.aot) — on the axon relay the server-side compile of the
+    fused build + solve programs costs 40-310 s per novel shape; a warm
+    cache loads them in seconds.  Default None = on for TPU, off for CPU
+    (local compiles are already fast).
     """
     phases = {}
+    if aot_cache is None:
+        aot_cache = jax.devices()[0].platform != "cpu"
+    aot = None
+    if aot_cache:
+        from tpufem.utils.aot import CompiledCache
+        aot = CompiledCache()
+
+    def _program(fn, example_args, tag, **jit_kw):
+        if aot is not None:
+            return aot.get(fn, example_args, tag=tag, **jit_kw)
+        return jax.jit(fn, **jit_kw)
 
     t0 = time.perf_counter()
     from tpufem.solve.multigrid import _light_grid
@@ -114,7 +131,6 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
         from tpufem.solve.bc import apply_dirichlet_stencil
         from tpufem.sparse.stencil import StencilMatrix
 
-        @jax.jit
         def build(C, g_emb):
             A, b = build_poisson_system_pallas(
                 plan, C, bc_mask, f_planes, rule,
@@ -124,6 +140,7 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
                 A, b = apply_dirichlet_stencil(A, b, bc_mask, g_emb)
             return A.data, b
 
+        build = _program(build, (C, g_emb), "fast_build")
         data, b = build(C, g_emb)
         b.block_until_ready()
         # release the coordinate planes (3 store-grid arrays — ~1 GB at
@@ -175,7 +192,6 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
     # request-size limit at 10M+ DOFs); b is DONATED — nothing reads it
     # after the solve, and its buffer is exactly the margin between
     # fitting and HBM exhaustion at the 57M-DOF single-chip ceiling
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def solve(b, data, lv):
         if lv is not None:
             M = mg_preconditioner(lv, nu1=1, nu2=1,
@@ -190,25 +206,40 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
             M = lambda r: r * inv_d
             M_dot = None
 
+        # reshape the operator to its [K, *store_grid] kernel layout ONCE,
+        # outside the CG loop: a [K, NS] argument reshaped inside the loop
+        # body costs a full relayout copy every iteration that XLA does not
+        # hoist (measured 0.50 vs 0.23 ms/iter at n=96)
+        dg = data.reshape((data.shape[0],) + tuple(plan.store_grid))
+
         def mvd(v):
-            return stencil_matvec_dot_embedded(data, v, plan,
+            return stencil_matvec_dot_embedded(dg, v, plan,
                                                block_lead=block_lead,
                                                interpret=interpret)
 
         def mv(v):
-            return stencil_matvec_embedded(data, v, plan,
+            return stencil_matvec_embedded(dg, v, plan,
                                            block_lead=block_lead,
                                            interpret=interpret)
 
         return cg(mv, b, tol=tol, maxiter=maxiter, M=M,
                   check_every=check_every, matvec_dot=mvd, M_dot=M_dot)
 
+    # b AND data are donated: nothing reads either after the solve, and the
+    # solve's first op relayouts data into its 4D kernel layout — without
+    # donation that copy would double the operator's HBM footprint (3.7 GB
+    # at the 57M-DOF ceiling)
     t0 = time.perf_counter()
+    solve = _program(solve, (b, data, mg_levels), "fast_solve",
+                     donate_argnums=(0, 1))
     res = solve(b, data, mg_levels)
     res.x.block_until_ready()
     phases["solve_wall"] = time.perf_counter() - t0
 
     u = plan.extract_field(res.x)
+    phases = {k: round(v, 3) for k, v in phases.items()}
+    if aot is not None:
+        phases["aot_cache"] = aot.stats
     return FastSolution(u=u, cg=res,
                         num_dofs=int(np.prod(plan.info.node_grid)),
-                        phases_s={k: round(v, 3) for k, v in phases.items()})
+                        phases_s=phases)

@@ -57,9 +57,22 @@ class ELLBandPlan(NamedTuple):
     d_lists: tuple           # per-k tuple of window-row deltas used, where
                              # delta = rel//128 - (R//128 + own sublane)
     width: int
+    # Per-BLOCK delta table [nb, K, Dmax] int32 (sentinel _D_NONE pads):
+    # the global d_lists union the deltas of every block (75 rounds at 1M
+    # rows / bandwidth 1001), but any single block uses only ~18 — RCM
+    # level sizes drift slowly, so a block's rows agree on their window
+    # offsets.  The per-block kernel reads this table from SMEM and skips
+    # sentinel rounds with pl.when.  None on plans built per_block=False.
+    dtab: object = None
 
 
-def ell_band_plan(data, cols, *, block_rows: int = 1024) -> ELLBandPlan:
+# sentinel "no delta" entry in ELLBandPlan.dtab — far outside the valid
+# [-R/128, R/128] delta range at any supported R
+_D_NONE = 64
+
+
+def ell_band_plan(data, cols, *, block_rows: int = 1024,
+                  per_block: bool = True) -> ELLBandPlan:
     """Rewrite an ELL matrix (data [N, K], cols [N, K]) for the kernel.
 
     Requires bandwidth <= block_rows: every cols[i, :] must lie within
@@ -104,6 +117,7 @@ def ell_band_plan(data, cols, *, block_rows: int = 1024) -> ELLBandPlan:
     sub = R // 128
     own_sub = (np.arange(np_rows) % R) // 128                  # [NP]
     d_lists = []
+    dmat = np.empty((K, np_rows), np.int64)
     for k in range(K):
         d = rel_t[k].astype(np.int64) // 128 - (sub + own_sub)
         if d.min() < -sub or d.max() > sub:
@@ -113,8 +127,21 @@ def ell_band_plan(data, cols, *, block_rows: int = 1024) -> ELLBandPlan:
                 f"matrix bandwidth {bw} exceeds block_rows {R}; renumber "
                 "the mesh (reverse_cuthill_mckee) or increase block_rows")
         d_lists.append(tuple(int(v) for v in np.unique(d)))
+        dmat[k] = d
+
+    dtab = None
+    if per_block:
+        db = dmat.reshape(K, nb, R)
+        uniq = [[np.unique(db[k, j]) for k in range(K)] for j in range(nb)]
+        dmax = max(1, max(len(u) for row in uniq for u in row))
+        dtab = np.full((nb, K, dmax), _D_NONE, np.int32)
+        for j in range(nb):
+            for k in range(K):
+                u = uniq[j][k]
+                dtab[j, k, :len(u)] = u
     return ELLBandPlan(rel=rel_t, data_t=data_t, n=n, np_rows=np_rows,
-                       block_rows=R, d_lists=tuple(d_lists), width=K)
+                       block_rows=R, d_lists=tuple(d_lists), width=K,
+                       dtab=dtab)
 
 
 def _kernel(data_ref, rel_ref, xm_ref, x0_ref, xp_ref, o_ref, *, d_lists):
@@ -144,12 +171,46 @@ def _kernel(data_ref, rel_ref, xm_ref, x0_ref, xp_ref, o_ref, *, d_lists):
     o_ref[0] = y
 
 
+def _kernel_pb(tab_ref, data_ref, rel_ref, xm_ref, x0_ref, xp_ref, o_ref,
+               acc_ref, *, dmax):
+    """Per-block delta variant: tab_ref [1, K, dmax] SMEM holds THIS
+    block's window-row deltas (sentinel _D_NONE pads); sentinel rounds are
+    skipped with pl.when, so each block pays only the gather rounds its own
+    rows need (~18 at 1M rows vs the 75-round global union).
+
+    Alignment per round: a dynamic sublane roll of the window by -d lines
+    output sublane t up with window row sub+t+d (the static kernel's
+    slice_in_dim, with d now a runtime scalar)."""
+    win = jnp.concatenate([xm_ref[0], x0_ref[0], xp_ref[0]], axis=0)
+    K = data_ref.shape[0]
+    sub = x0_ref.shape[1]
+    base = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0) + sub
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    nwin = win.shape[0]
+    for k in range(K):
+        rel = rel_ref[k, 0].astype(jnp.int32)   # rel may be int16 on HBM
+        s_idx = rel // 128
+        lane = rel - s_idx * 128
+        for t in range(dmax):
+            d = tab_ref[0, k, t]
+
+            @pl.when(d != _D_NONE)
+            def _round(k=k, d=d, s_idx=s_idx, lane=lane):
+                rolled = pltpu.roll(win, (-d) % nwin, 0)
+                mid = jax.lax.slice_in_dim(rolled, sub, 2 * sub, axis=0)
+                g = jnp.take_along_axis(mid, lane, axis=1)
+                hit = jnp.where(s_idx == base + d, g, 0.0)
+                acc_ref[...] += data_ref[k, 0] * hit
+    o_ref[0] = acc_ref[...]
+
+
 def ell_matvec_pallas(plan: ELLBandPlan, data_dev, rel_dev, x, *,
-                      interpret: bool = False):
+                      interpret: bool = False, per_block=None):
     """y = A x with the banded Pallas kernel.
 
     data_dev/rel_dev: device copies of plan.data_t / plan.rel ([K, NP]).
-    x: [N] (or [NP]); returns y [N].
+    x: [N] (or [NP]); returns y [N].  ``per_block``: use the per-block
+    delta-table kernel (default: whenever the plan carries a table).
     """
     R = plan.block_rows
     sub = R // 128
@@ -161,8 +222,9 @@ def ell_matvec_pallas(plan: ELLBandPlan, data_dev, rel_dev, x, *,
     x3 = xp.reshape(nb, sub, 128)
     d3 = data_dev.reshape(K, nb, sub, 128)
     r3 = rel_dev.reshape(K, nb, sub, 128)
+    if per_block is None:
+        per_block = plan.dtab is not None
 
-    kern = functools.partial(_kernel, d_lists=plan.d_lists)
     xspec_m = pl.BlockSpec((1, sub, 128),
                            lambda j: (jnp.maximum(j - 1, 0), 0, 0),
                            memory_space=pltpu.VMEM)
@@ -171,22 +233,37 @@ def ell_matvec_pallas(plan: ELLBandPlan, data_dev, rel_dev, x, *,
     xspec_p = pl.BlockSpec((1, sub, 128),
                            lambda j: (jnp.minimum(j + 1, nb - 1), 0, 0),
                            memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((K, 1, sub, 128), lambda j: (0, j, 0, 0),
+                         memory_space=pltpu.VMEM)
     with _trace_ctx(x.dtype):
-        y = pl.pallas_call(
-            kern,
-            grid=(nb,),
-            in_specs=[
-                pl.BlockSpec((K, 1, sub, 128), lambda j: (0, j, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((K, 1, sub, 128), lambda j: (0, j, 0, 0),
-                             memory_space=pltpu.VMEM),
-                xspec_m, xspec_0, xspec_p,
-            ],
-            out_specs=pl.BlockSpec((1, sub, 128), lambda j: (j, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((nb, sub, 128), x.dtype),
-            interpret=interpret,
-        )(d3, r3, x3, x3, x3)
+        if per_block:
+            dmax = int(plan.dtab.shape[2])
+            kern = functools.partial(_kernel_pb, dmax=dmax)
+            y = pl.pallas_call(
+                kern,
+                grid=(nb,),
+                in_specs=[
+                    pl.BlockSpec((1, K, dmax), lambda j: (j, 0, 0),
+                                 memory_space=pltpu.SMEM),
+                    dspec, dspec, xspec_m, xspec_0, xspec_p,
+                ],
+                out_specs=pl.BlockSpec((1, sub, 128), lambda j: (j, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((nb, sub, 128), x.dtype),
+                scratch_shapes=[pltpu.VMEM((sub, 128), x.dtype)],
+                interpret=interpret,
+            )(jnp.asarray(plan.dtab), d3, r3, x3, x3, x3)
+        else:
+            kern = functools.partial(_kernel, d_lists=plan.d_lists)
+            y = pl.pallas_call(
+                kern,
+                grid=(nb,),
+                in_specs=[dspec, dspec, xspec_m, xspec_0, xspec_p],
+                out_specs=pl.BlockSpec((1, sub, 128), lambda j: (j, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((nb, sub, 128), x.dtype),
+                interpret=interpret,
+            )(d3, r3, x3, x3, x3)
     return y.reshape(-1)[:plan.n]
 
 

@@ -1,0 +1,161 @@
+"""AOT executable cache: persist compiled XLA programs across processes.
+
+The reference re-JITs its kernels every run, parameterized by
+``--define-macro`` NVRTC options (/root/reference/fea_symbolic_nvrtc.cpp:
+511-525), and pays the compile each time.  The TPU analogue is worse under
+the axon relay: the server-side XLA compile of the fused Pallas programs
+fluctuates 40-310 s per program (BENCH_r02 ``build_system_wall``) and the
+standard jax persistent compilation cache is a no-op because compilation
+happens on the relay server.
+
+This module supplies the missing layer.  ``CompiledCache.get`` traces and
+lowers the program locally (cheap), keys it by a hash of the lowered
+StableHLO + jax version + device kind, and round-trips the *compiled
+executable* through ``jax.experimental.serialize_executable``:
+
+    cache = CompiledCache()
+    run = cache.get(fn, (x, y), tag="build_system")   # Compiled, callable
+    out = run(x, y)
+
+On a hit the server compile is skipped entirely (deserialize+load is
+~seconds).  Any failure — version skew, device mismatch, corrupt file —
+falls back to a fresh compile, so the cache can never change results, only
+walls.  Set ``TPUFEM_AOT_CACHE=0`` to disable, ``TPUFEM_AOT_CACHE_DIR`` to
+relocate (default ``~/.cache/tpufem/aot``).
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import re
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Sequence
+
+import jax
+
+__all__ = ["CompiledCache"]
+
+
+def _cache_dir() -> str:
+    d = os.environ.get("TPUFEM_AOT_CACHE_DIR")
+    if not d:
+        d = os.path.join(os.path.expanduser("~"), ".cache", "tpufem", "aot")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _enabled() -> bool:
+    return os.environ.get("TPUFEM_AOT_CACHE", "1") != "0"
+
+
+@dataclass
+class CompiledCache:
+    """Disk cache of serialized XLA executables, keyed by lowered program."""
+
+    directory: str = field(default_factory=_cache_dir)
+    # per-tag wall breakdown for reporting: {tag: {"event": ..., "s": ...}}
+    stats: dict = field(default_factory=dict)
+
+    def get(self, fn: Callable, example_args: Sequence[Any], *,
+            tag: str = "", static_argnums=(), donate_argnums=()) -> Any:
+        """Return a loaded/compiled executable for ``fn`` at these avals.
+
+        The result is a ``jax.stages.Compiled``-like callable accepting the
+        same positional arguments (shapes/dtypes must match exactly).
+        """
+        jitted = jax.jit(fn, static_argnums=static_argnums,
+                         donate_argnums=donate_argnums)
+        t0 = time.perf_counter()
+        lowered = jitted.lower(*example_args)
+        t_lower = time.perf_counter() - t0
+
+        if not _enabled():
+            t0 = time.perf_counter()
+            compiled = lowered.compile()
+            self.stats[tag or fn.__name__] = {
+                "event": "disabled", "lower_s": round(t_lower, 2),
+                "compile_s": round(time.perf_counter() - t0, 2)}
+            return compiled
+
+        t0 = time.perf_counter()
+        # key on the traced JAXPR, not the lowered StableHLO: pallas_call
+        # lowers its kernel to a base64 Mosaic payload whose embedded
+        # source locations change whenever ANY caller source shifts lines —
+        # observed as three distinct cache entries for one identical
+        # program.  The jaxpr string is location-free and deterministic.
+        try:
+            key_src = str(jitted.trace(*example_args).jaxpr)
+        except Exception:        # trace API unavailable: fall back, strip
+            key_src = re.sub(r'loc\("[^"]*"[^)]*\)|#loc\d*( = [^\n]*)?',
+                             "", lowered.as_text())
+        key_src += "|" + "|".join(
+            str(jax.api_util.shaped_abstractify(a)) for a in
+            jax.tree_util.tree_leaves(example_args))
+        key_src += f"|don={tuple(donate_argnums)}|stat={tuple(static_argnums)}"
+        dev = jax.devices()[0]
+        fingerprint = f"{jax.__version__}|{dev.device_kind}|{dev.platform}"
+        key = hashlib.sha256(
+            (key_src + fingerprint).encode()).hexdigest()[:32]
+        t_key = time.perf_counter() - t0
+        path = os.path.join(self.directory, f"{tag or 'prog'}-{key}.xc")
+
+        load_failure = None
+        if os.path.exists(path):
+            try:
+                from jax.experimental import serialize_executable as se
+                t0 = time.perf_counter()
+                with open(path, "rb") as fh:
+                    payload, in_tree, out_tree, dev_ids = pickle.load(fh)
+                # deserialize_and_load defaults to ALL local devices; the
+                # executable must be bound to the same device set it was
+                # compiled for (a 1-device program loaded onto an 8-device
+                # mesh demands 8 input shards at call time)
+                by_id = {d.id: d for d in jax.devices()}
+                exec_devs = [by_id[i] for i in dev_ids]
+                loaded = se.deserialize_and_load(
+                    payload, in_tree, out_tree,
+                    execution_devices=exec_devs)
+                self.stats[tag or fn.__name__] = {
+                    "event": "hit", "lower_s": round(t_lower, 2),
+                    "key_s": round(t_key, 2),
+                    "load_s": round(time.perf_counter() - t0, 2)}
+                return loaded
+            except Exception as e:          # corrupt/incompatible: recompile
+                load_failure = type(e).__name__
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+
+        t0 = time.perf_counter()
+        compiled = lowered.compile()
+        t_compile = time.perf_counter() - t0
+        rec = {"event": "miss" if load_failure is None
+               else f"load_failed: {load_failure}",
+               "lower_s": round(t_lower, 2),
+               "key_s": round(t_key, 2), "compile_s": round(t_compile, 2)}
+        try:
+            from jax.experimental import serialize_executable as se
+            t0 = time.perf_counter()
+            payload, in_tree, out_tree = se.serialize(compiled)
+            dev_ids = [d.id for d in _executable_devices(compiled)]
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                pickle.dump((payload, in_tree, out_tree, dev_ids), fh)
+            os.replace(tmp, path)
+            rec["save_s"] = round(time.perf_counter() - t0, 2)
+            rec["bytes"] = os.path.getsize(path)
+        except Exception as e:              # serialization unsupported here
+            rec["save_failed"] = type(e).__name__
+        self.stats[tag or fn.__name__] = rec
+        return compiled
+
+
+def _executable_devices(compiled) -> list:
+    """Devices a jax.stages.Compiled executable is bound to."""
+    try:
+        return list(compiled._executable.xla_executable.local_devices())
+    except Exception:
+        return [jax.devices()[0]]
