@@ -139,6 +139,13 @@ def main(argv=None):
         "elements_per_sec": round(ne / t_asm, 0),
         "effective_gbs": round(bytes_moved / t_asm / 1e9, 1),
         "hbm_sol_fraction": round(bytes_moved / t_asm / 1e9 / 819.0, 3),
+        # reference-parity phase: element kernels + raw values out, NO
+        # duplicate reduction — exactly what the CUDA kernel at this scale
+        # does (/root/reference/fea_test_sm_sym_sparse.cu:244-254)
+        "emit_only_s": round(t_emit, 3),
+        "emit_elements_per_sec": round(ne / t_emit, 0),
+        "emit_hbm_sol_fraction": round(
+            emit_bytes / t_emit / 1e9 / 819.0, 3),
         "max_rel_row_sum": rel,
         "walls_s": {"mesh": round(t_mesh, 1), "pattern": round(t_pat, 1),
                     "first_pass": round(t_wall, 1)},

@@ -201,7 +201,7 @@ def test_per_block_delta_kernel_matches_static():
     rng = np.random.default_rng(7)
     data, cols = _random_banded(rng, 6000, 8, 700, )
     x = rng.standard_normal(6000).astype(np.float32)
-    plan = ell_band_plan(data, cols, block_rows=1024)
+    plan = ell_band_plan(data, cols, block_rows=1024, per_block=True)
     assert plan.dtab is not None
     # the table must cover fewer rounds per block than the global union
     dmax = plan.dtab.shape[2]
@@ -227,3 +227,60 @@ def test_plan_without_table_dispatches_static():
     ref = np.asarray(ell_matvec(jnp.asarray(data), jnp.asarray(cols),
                                 jnp.asarray(x)))
     assert np.abs(np.asarray(y) - ref).max() / np.abs(ref).max() < 1e-6
+
+
+def test_bcsr_per_block_matches_static():
+    """Per-block delta BCSR kernel vs the static-union kernel."""
+    from tpufem.sparse.ell_pallas import bcsr_band_plan, bcsr_matvec_pallas
+    rng = np.random.default_rng(11)
+    nr, K, b, band = 2000, 8, 3, 300
+    cols = np.clip(np.arange(nr)[:, None]
+                   + rng.integers(-band, band + 1, size=(nr, K)),
+                   0, nr - 1).astype(np.int32)
+    data = rng.standard_normal((nr, K, b, b)).astype(np.float32)
+    x = rng.standard_normal((b, nr)).astype(np.float32)
+    plan, data_t = bcsr_band_plan(data, cols, block_rows=512,
+                                  per_block=True)
+    assert plan.dtab is not None
+    args = (jnp.asarray(data_t), jnp.asarray(plan.rel), jnp.asarray(x))
+    y_pb = bcsr_matvec_pallas(plan, *args, interpret=True, per_block=True)
+    y_st = bcsr_matvec_pallas(plan, *args, interpret=True, per_block=False)
+    np.testing.assert_allclose(np.asarray(y_pb), np.asarray(y_st),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_segmented_kernel_matches_global_and_gather():
+    """Contiguous-segment static specialization: parity vs the global
+    static kernel and the gather reference."""
+    rng = np.random.default_rng(13)
+    n, k = 40000, 8
+    # drifting bandwidth (RCM-like): neighbor offsets grow along the range
+    rows = np.arange(n)
+    band = (80 + rows // 200).astype(np.int64)           # 80 -> 280
+    cols = np.clip(rows[:, None]
+                   + rng.integers(-1, 2, size=(n, k)) * band[:, None]
+                   + rng.integers(-3, 4, size=(n, k)),
+                   0, n - 1).astype(np.int32)
+    data = rng.standard_normal((n, k)).astype(np.float32)
+    x = rng.standard_normal(n).astype(np.float32)
+    plan = ell_band_plan(data, cols, block_rows=512)
+    assert plan.segments is not None and len(plan.segments) > 1
+    # segments cover the block range exactly once
+    nb = plan.np_rows // plan.block_rows
+    covered = [seg for seg in plan.segments]
+    assert covered[0][0] == 0 and covered[-1][1] == nb
+    for (s0, e0, _), (s1, e1, _) in zip(covered, covered[1:]):
+        assert e0 == s1
+    # each segment's rounds <= the global union
+    g = sum(len(d) for d in plan.d_lists)
+    assert all(sum(len(d) for d in dl) <= g for _, _, dl in covered)
+
+    args = (jnp.asarray(plan.data_t), jnp.asarray(plan.rel), jnp.asarray(x))
+    y_seg = ell_matvec_pallas(plan, *args, interpret=True)
+    y_glob = ell_matvec_pallas(plan, *args, interpret=True, segmented=False)
+    np.testing.assert_allclose(np.asarray(y_seg), np.asarray(y_glob),
+                               rtol=1e-5, atol=1e-6)
+    ref = np.asarray(ell_matvec(jnp.asarray(data), jnp.asarray(cols),
+                                jnp.asarray(x)))
+    err = np.abs(np.asarray(y_seg) - ref).max() / np.abs(ref).max()
+    assert err < 1e-5, err

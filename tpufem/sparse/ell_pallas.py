@@ -58,12 +58,21 @@ class ELLBandPlan(NamedTuple):
                              # delta = rel//128 - (R//128 + own sublane)
     width: int
     # Per-BLOCK delta table [nb, K, Dmax] int32 (sentinel _D_NONE pads):
-    # the global d_lists union the deltas of every block (75 rounds at 1M
-    # rows / bandwidth 1001), but any single block uses only ~18 — RCM
+    # the global d_lists union the deltas of every block (58-75 rounds at
+    # 1M rows / bandwidth 1001), but any single block uses only ~18 — RCM
     # level sizes drift slowly, so a block's rows agree on their window
     # offsets.  The per-block kernel reads this table from SMEM and skips
-    # sentinel rounds with pl.when.  None on plans built per_block=False.
+    # sentinel rounds with pl.when.  None unless built per_block=True.
+    # NOTE: measured 6.5x SLOWER than the static kernel on hardware
+    # (dynamic sublane rotates + scalar branches, BENCH_NOTES r3) — kept
+    # as the recorded negative result; the production fast path is
+    # ``segments`` below.
     dtab: object = None
+    # Contiguous block-range segmentation [(start, end, d_lists), ...]:
+    # one STATIC kernel per segment whose d_lists union only that range's
+    # blocks (~25 rounds vs 75 global at 1M rows).  Exploits the same
+    # slow drift as dtab with zero dynamic ops.
+    segments: object = None
 
 
 # sentinel "no delta" entry in ELLBandPlan.dtab — far outside the valid
@@ -72,7 +81,8 @@ _D_NONE = 64
 
 
 def ell_band_plan(data, cols, *, block_rows: int = 1024,
-                  per_block: bool = True) -> ELLBandPlan:
+                  per_block: bool = False, segment: bool = True,
+                  max_segments: int = 16) -> ELLBandPlan:
     """Rewrite an ELL matrix (data [N, K], cols [N, K]) for the kernel.
 
     Requires bandwidth <= block_rows: every cols[i, :] must lie within
@@ -129,19 +139,57 @@ def ell_band_plan(data, cols, *, block_rows: int = 1024,
         d_lists.append(tuple(int(v) for v in np.unique(d)))
         dmat[k] = d
 
+    db = dmat.reshape(K, nb, R)
+    uniq = None
     dtab = None
     if per_block:
-        db = dmat.reshape(K, nb, R)
-        uniq = [[np.unique(db[k, j]) for k in range(K)] for j in range(nb)]
+        uniq = [[frozenset(np.unique(db[k, j]).tolist()) for k in range(K)]
+                for j in range(nb)]
         dmax = max(1, max(len(u) for row in uniq for u in row))
         dtab = np.full((nb, K, dmax), _D_NONE, np.int32)
         for j in range(nb):
             for k in range(K):
-                u = uniq[j][k]
+                u = sorted(uniq[j][k])
                 dtab[j, k, :len(u)] = u
+
+    segments = None
+    if segment and nb > 1:
+        if uniq is None:
+            uniq = [[frozenset(np.unique(db[k, j]).tolist())
+                     for k in range(K)] for j in range(nb)]
+        segments = _segment_blocks(uniq, nb, K, max_segments)
     return ELLBandPlan(rel=rel_t, data_t=data_t, n=n, np_rows=np_rows,
                        block_rows=R, d_lists=tuple(d_lists), width=K,
-                       dtab=dtab)
+                       dtab=dtab, segments=segments)
+
+
+def _segment_blocks(uniq, nb, K, max_segments):
+    """Greedy contiguous segmentation of the block range: each segment's
+    per-slot delta union stays under a round cap, and the cap is raised
+    until the segment count fits ``max_segments``.  RCM level sizes drift
+    slowly along the band, so neighboring blocks share most deltas and a
+    handful of segments recovers most of the per-block savings
+    (measured: 12 segments x ~25 rounds vs 75 globally at 1M rows)."""
+    lo = max(sum(len(s) for s in row) for row in uniq)     # densest block
+    for cap in range(lo, 16 * K + 1, 2):
+        segs = []
+        j = 0
+        while j < nb:
+            cur = [set() for _ in range(K)]
+            start = j
+            while j < nb:
+                trial = [cur[k] | uniq[j][k] for k in range(K)]
+                if sum(len(s) for s in trial) > cap and j > start:
+                    break
+                cur = trial
+                j += 1
+            segs.append((start, j,
+                         tuple(tuple(sorted(s)) for s in cur)))
+            if len(segs) > max_segments:
+                break
+        if len(segs) <= max_segments:
+            return tuple(segs)
+    return None                                             # give up: global
 
 
 def _kernel(data_ref, rel_ref, xm_ref, x0_ref, xp_ref, o_ref, *, d_lists):
@@ -205,12 +253,18 @@ def _kernel_pb(tab_ref, data_ref, rel_ref, xm_ref, x0_ref, xp_ref, o_ref,
 
 
 def ell_matvec_pallas(plan: ELLBandPlan, data_dev, rel_dev, x, *,
-                      interpret: bool = False, per_block=None):
+                      interpret: bool = False, per_block: bool = False,
+                      segmented=None):
     """y = A x with the banded Pallas kernel.
 
     data_dev/rel_dev: device copies of plan.data_t / plan.rel ([K, NP]).
-    x: [N] (or [NP]); returns y [N].  ``per_block``: use the per-block
-    delta-table kernel (default: whenever the plan carries a table).
+    x: [N] (or [NP]); returns y [N].
+
+    ``segmented`` (default: whenever the plan carries segments): one
+    static kernel per contiguous block range, each unrolling only that
+    range's delta union (~25 rounds vs 58-75 globally at 1M rows).
+    ``per_block``: the SMEM delta-table kernel — measured 6.5x slower on
+    hardware (BENCH_NOTES r3), kept for the record.
     """
     R = plan.block_rows
     sub = R // 128
@@ -222,8 +276,8 @@ def ell_matvec_pallas(plan: ELLBandPlan, data_dev, rel_dev, x, *,
     x3 = xp.reshape(nb, sub, 128)
     d3 = data_dev.reshape(K, nb, sub, 128)
     r3 = rel_dev.reshape(K, nb, sub, 128)
-    if per_block is None:
-        per_block = plan.dtab is not None
+    if segmented is None:
+        segmented = plan.segments is not None and not per_block
 
     xspec_m = pl.BlockSpec((1, sub, 128),
                            lambda j: (jnp.maximum(j - 1, 0), 0, 0),
@@ -253,6 +307,48 @@ def ell_matvec_pallas(plan: ELLBandPlan, data_dev, rel_dev, x, *,
                 scratch_shapes=[pltpu.VMEM((sub, 128), x.dtype)],
                 interpret=interpret,
             )(jnp.asarray(plan.dtab), d3, r3, x3, x3, x3)
+        elif segmented:
+            # one static kernel per contiguous block range; x neighbor
+            # blocks come from the FULL x3 via offset index maps so
+            # segment-boundary halos need no special casing
+            parts = []
+            for (s, e, dl) in plan.segments:
+                ns_ = e - s
+                kern = functools.partial(_kernel, d_lists=dl)
+
+                def off(fn, s=s):
+                    return lambda j: fn(j + s)
+
+                specs = [
+                    pl.BlockSpec((K, 1, sub, 128),
+                                 off(lambda g: (0, g, 0, 0)),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((K, 1, sub, 128),
+                                 off(lambda g: (0, g, 0, 0)),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, sub, 128),
+                                 off(lambda g: (jnp.maximum(g - 1, 0),
+                                                0, 0)),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, sub, 128), off(lambda g: (g, 0, 0)),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, sub, 128),
+                                 off(lambda g: (jnp.minimum(g + 1, nb - 1),
+                                                0, 0)),
+                                 memory_space=pltpu.VMEM),
+                ]
+                parts.append(pl.pallas_call(
+                    kern,
+                    grid=(ns_,),
+                    in_specs=specs,
+                    out_specs=pl.BlockSpec((1, sub, 128),
+                                           lambda j: (j, 0, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((ns_, sub, 128),
+                                                   x.dtype),
+                    interpret=interpret,
+                )(d3, r3, x3, x3, x3))
+            y = jnp.concatenate(parts, axis=0)
         else:
             kern = functools.partial(_kernel, d_lists=plan.d_lists)
             y = pl.pallas_call(
@@ -269,7 +365,7 @@ def ell_matvec_pallas(plan: ELLBandPlan, data_dev, rel_dev, x, *,
 
 # -- block (BCSR) variant ------------------------------------------------------
 
-def bcsr_band_plan(data, cols, *, block_rows: int = 1024):
+def bcsr_band_plan(data, cols, *, block_rows: int = 1024, **plan_kw):
     """Banded plan for a BCSR matrix (data [NR, K, b, b], cols [NR, K]).
 
     Returns (plan, data_t [K, b, b, NP]) — the plan's rel/d_lists are built
@@ -281,7 +377,7 @@ def bcsr_band_plan(data, cols, *, block_rows: int = 1024):
     cols = np.asarray(cols)
     nr, K, b, _ = data.shape
     scalar = np.ones((nr, K), data.dtype)     # only the pattern matters
-    plan = ell_band_plan(scalar, cols, block_rows=block_rows)
+    plan = ell_band_plan(scalar, cols, block_rows=block_rows, **plan_kw)
     pad = plan.np_rows - nr
     if pad:
         data = np.pad(data, ((0, pad), (0, 0), (0, 0), (0, 0)))
@@ -324,12 +420,47 @@ def _block_kernel(data_ref, rel_ref, *refs, d_lists, nb_comp):
     o_ref[0] = jnp.stack(y)
 
 
+def _block_kernel_pb(tab_ref, data_ref, rel_ref, *refs, nb_comp, dmax):
+    """Per-block delta-table BCSR kernel: the _block_kernel gather sharing
+    (one lane-gather per (slot, delta, source component) feeds all nb_comp
+    outputs) with _kernel_pb's SMEM delta table + pl.when round skipping."""
+    xs = refs[: 3 * nb_comp]
+    o_ref = refs[3 * nb_comp]
+    acc_ref = refs[3 * nb_comp + 1]
+    wins = [jnp.concatenate([xs[3 * d][0], xs[3 * d + 1][0],
+                             xs[3 * d + 2][0]], axis=0)
+            for d in range(nb_comp)]
+    K = data_ref.shape[0]
+    sub = xs[1].shape[1]
+    nwin = wins[0].shape[0]
+    base = jax.lax.broadcasted_iota(jnp.int32, xs[1][0].shape, 0) + sub
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for k in range(K):
+        rel = rel_ref[k, 0].astype(jnp.int32)   # rel may be int16 on HBM
+        s_idx = rel // 128
+        lane = rel - s_idx * 128
+        for t in range(dmax):
+            dd = tab_ref[0, k, t]
+
+            @pl.when(dd != _D_NONE)
+            def _round(k=k, dd=dd, s_idx=s_idx, lane=lane):
+                for d in range(nb_comp):
+                    rolled = pltpu.roll(wins[d], (-dd) % nwin, 0)
+                    mid = jax.lax.slice_in_dim(rolled, sub, 2 * sub, axis=0)
+                    g = jnp.take_along_axis(mid, lane, axis=1)
+                    hit = jnp.where(s_idx == base + dd, g, 0.0)
+                    for c in range(nb_comp):
+                        acc_ref[c] += data_ref[k, c, d, 0] * hit
+    o_ref[0] = acc_ref[...]
+
+
 def bcsr_matvec_pallas(plan: ELLBandPlan, data_dev, rel_dev, x, *,
-                       interpret: bool = False):
+                       interpret: bool = False, per_block=None):
     """y = A x for a banded BCSR matrix.
 
     data_dev [K, b, b, NP] (from bcsr_band_plan), rel_dev [K, NP],
-    x [b, NR] (component-major).  Returns y [b, NR].
+    x [b, NR] (component-major).  Returns y [b, NR].  ``per_block``: use
+    the per-block delta-table kernel (default: when the plan carries one).
     """
     R = plan.block_rows
     sub = R // 128
@@ -341,9 +472,15 @@ def bcsr_matvec_pallas(plan: ELLBandPlan, data_dev, rel_dev, x, *,
     x4 = x.reshape(b, nb, sub, 128)
     d5 = data_dev.reshape(K, b, b, nb, sub, 128)
     r3 = rel_dev.reshape(K, nb, sub, 128)
+    if per_block is None:
+        per_block = False      # 6.5x slower on hardware (BENCH_NOTES r3)
 
-    kern = functools.partial(_block_kernel, d_lists=plan.d_lists,
-                             nb_comp=b)
+    if per_block:
+        dmax = int(plan.dtab.shape[2])
+        kern = functools.partial(_block_kernel_pb, nb_comp=b, dmax=dmax)
+    else:
+        kern = functools.partial(_block_kernel, d_lists=plan.d_lists,
+                                 nb_comp=b)
     xm = pl.BlockSpec((1, sub, 128), lambda j: (jnp.maximum(j - 1, 0), 0, 0),
                       memory_space=pltpu.VMEM)
     x0 = pl.BlockSpec((1, sub, 128), lambda j: (j, 0, 0),
@@ -362,6 +499,15 @@ def bcsr_matvec_pallas(plan: ELLBandPlan, data_dev, rel_dev, x, *,
     for d in range(b):
         for spec in (xm, x0, xp):
             xins.append(spec)
+    xargs = [x4[d] for d in range(b) for _ in range(3)]
+    if per_block:
+        in_specs = [pl.BlockSpec((1, K, dmax), lambda j: (j, 0, 0),
+                                 memory_space=pltpu.SMEM)] + in_specs
+        args = (jnp.asarray(plan.dtab), d5, r3, *xargs)
+        scratch = [pltpu.VMEM((b, sub, 128), x.dtype)]
+    else:
+        args = (d5, r3, *xargs)
+        scratch = []
     with _trace_ctx(x.dtype):
         y = pl.pallas_call(
             kern,
@@ -371,6 +517,7 @@ def bcsr_matvec_pallas(plan: ELLBandPlan, data_dev, rel_dev, x, *,
                                    lambda j: (j, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((nb, b, sub, 128), x.dtype),
+            scratch_shapes=scratch,
             interpret=interpret,
-        )(d5, r3, *[x4[d] for d in range(b) for _ in range(3)])
+        )(*args)
     return jnp.moveaxis(y, 1, 0).reshape(b, -1)[:, :plan.n]
