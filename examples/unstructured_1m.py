@@ -40,7 +40,8 @@ from tpufem.mesh.rectangle import perturbed_rectangle_mesh
 from tpufem.solve.bc import apply_dirichlet_ell
 from tpufem.solve.cg import cg
 from tpufem.solve.poisson import model_problem_2d
-from tpufem.solve.precond import chebyshev, estimate_lambda_max, jacobi
+from tpufem.solve.precond import (chebyshev, estimate_lambda_max, jacobi,
+                                  lambda_max_bound)
 
 
 def rcm_renumber(mesh: Mesh, pad_to: int = 8):
@@ -65,6 +66,11 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=1e-5)
     ap.add_argument("--precond", choices=["chebyshev", "jacobi"],
                     default="chebyshev")
+    ap.add_argument("--lmax", choices=["bound", "power"], default="bound",
+                    help="lmax for the Chebyshev interval: 'bound' = "
+                    "Gershgorin row sums (guaranteed safe); 'power' = "
+                    "power iteration (underestimates at 1M rows and "
+                    "DIVERGES — kept for the record, BENCH_NOTES r3)")
     ap.add_argument("--interpret", action="store_true",
                     help="CPU smoke test (timings meaningless)")
     args = ap.parse_args(argv)
@@ -112,8 +118,11 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     if args.precond == "chebyshev":
-        lmax = estimate_lambda_max(A.matvec, A.diagonal(), nn,
-                                   dtype=A.dtype)
+        if args.lmax == "bound":
+            lmax = lambda_max_bound(A)
+        else:
+            lmax = estimate_lambda_max(A.matvec, A.diagonal(), nn,
+                                       dtype=A.dtype)
         M = chebyshev(A.matvec, A.diagonal(), degree=args.degree,
                       lmax=lmax)
     else:
@@ -145,6 +154,7 @@ def main(argv=None):
         "rcm_bandwidth": bw,
         "precond": args.precond,
         "cheb_degree": args.degree if args.precond == "chebyshev" else 0,
+        "lmax_mode": args.lmax if args.precond == "chebyshev" else None,
         "pcg_iters": int(res.iterations),
         "relres": float(res.residual_norm),
         "converged": bool(res.converged),

@@ -20,7 +20,8 @@ from tpufem.mesh.rectangle import perturbed_rectangle_mesh
 from tpufem.solve.bc import apply_dirichlet_ell
 from tpufem.solve.cg import cg
 from tpufem.solve.poisson import model_problem_2d
-from tpufem.solve.precond import chebyshev, estimate_lambda_max, jacobi
+from tpufem.solve.precond import (chebyshev, estimate_lambda_max, jacobi,
+                                  lambda_max_bound)
 
 
 def _system(n=24, seed=0):
@@ -64,6 +65,28 @@ def test_lambda_max_upper_bounds_spectrum():
                               dtype=A.dtype)
     assert est >= 0.99 * true_lmax          # boost covers estimator slack
     assert est <= 1.3 * true_lmax
+
+
+def test_lambda_max_bound_never_underestimates():
+    """Gershgorin bound >= true lmax on every seed (the power-iteration
+    estimate underestimated at 1M rows and diverged Chebyshev-PCG —
+    BENCH_NOTES r3; the bound is the production default)."""
+    for seed in range(4):
+        A, _ = _system(n=12, seed=seed)
+        d = np.asarray(A.diagonal())
+        Ad = np.asarray(A.to_dense()) / d[:, None]
+        true_lmax = np.abs(np.linalg.eigvals(Ad)).max()
+        bound = lambda_max_bound(A)
+        assert bound >= true_lmax, (bound, true_lmax)
+        assert bound <= 2.5 * true_lmax     # not uselessly loose
+
+
+def test_chebyshev_with_bound_converges():
+    A, b = _system(n=40)
+    M = chebyshev(A.matvec, A.diagonal(), degree=10,
+                  lmax=lambda_max_bound(A))
+    res = cg(A.matvec, b, tol=1e-8, maxiter=500, M=M)
+    assert bool(res.converged), int(res.iterations)
 
 
 def test_chebyshev_cuts_iterations_vs_jacobi():

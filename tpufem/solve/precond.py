@@ -19,7 +19,7 @@ _HI = jax.lax.Precision.HIGHEST  # keep fp32 einsums in fp32 on TPU
 from tpufem.sparse.ell import ELLMatrix
 
 __all__ = ["jacobi", "jacobi_from_diagonal", "block_jacobi",
-           "chebyshev", "estimate_lambda_max"]
+           "chebyshev", "estimate_lambda_max", "lambda_max_bound"]
 
 
 def jacobi_from_diagonal(diag):
@@ -64,6 +64,12 @@ def estimate_lambda_max(matvec, diag, n, *, iters: int = 25, seed: int = 0,
     ``boost`` inflates the estimate slightly so the Chebyshev interval is
     guaranteed to cover the spectrum (an underestimated lmax diverges the
     polynomial; an overestimate only costs a few percent).
+
+    .. warning:: power iteration converges slowly when the top of the
+       spectrum is clustered — on a 1M-row RCM system 25 iterations (+5%)
+       still sat ~20% BELOW the true lmax and Chebyshev-PCG diverged
+       (BENCH_NOTES r3).  For a concrete ELL matrix prefer
+       :func:`lambda_max_bound`, a guaranteed upper bound.
     """
     inv_d = jnp.where(diag != 0, 1.0 / diag, 1.0).astype(dtype)
     key = jax.random.PRNGKey(seed)
@@ -82,6 +88,23 @@ def estimate_lambda_max(matvec, diag, n, *, iters: int = 25, seed: int = 0,
     return float(lam) * boost
 
 
+def lambda_max_bound(A: ELLMatrix) -> float:
+    """Guaranteed upper bound on spec(D^-1 A) via Gershgorin row sums.
+
+    For each row i of B = D^-1 A every eigenvalue lies in a disc centered
+    at b_ii with radius sum_{j!=i} |b_ij|, so
+    ``max_i sum_j |a_ij| / d_i`` bounds the whole spectrum from above.
+    ELL padding slots hold 0 and do not contribute.  One O(nnz) pass,
+    never an underestimate — the safe ``lmax`` for :func:`chebyshev`
+    (power iteration underestimated by ~20% at 1M rows and diverged the
+    polynomial; Gershgorin overestimates by <= 2x on FEM stiffness
+    matrices, costing only a few percent in the damped interval).
+    """
+    diag = A.diagonal()
+    inv_d = jnp.where(diag != 0, 1.0 / diag, 1.0)
+    return float(jnp.max(jnp.sum(jnp.abs(A.data), axis=1) * inv_d))
+
+
 def chebyshev(matvec, diag, *, degree: int = 10, lmax: float,
               lmin_ratio: float = 30.0):
     """Chebyshev-Jacobi polynomial preconditioner r -> p_m(D^-1 A) D^-1 r.
@@ -95,9 +118,10 @@ def chebyshev(matvec, diag, *, degree: int = 10, lmax: float,
     a valid CG preconditioner; the low-frequency tail below
     lmax/lmin_ratio is left to the outer CG.
 
-    ``lmax`` must upper-bound spec(D^-1 A) — use
-    :func:`estimate_lambda_max` (an under-estimate makes the polynomial
-    amplify the top modes and CG will stall or diverge).
+    ``lmax`` must upper-bound spec(D^-1 A) — use :func:`lambda_max_bound`
+    (an under-estimate makes the polynomial amplify the top modes and CG
+    diverges; measured at 1M rows with the power-iteration estimate,
+    BENCH_NOTES r3).
     """
     lmax = float(lmax)
     lmin = lmax / float(lmin_ratio)
