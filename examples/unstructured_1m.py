@@ -10,11 +10,12 @@ way to a solved PDE on one TPU chip:
   2. host RCM renumbering (native C++ path) -> bandwidth ~ one mesh line;
   3. generic scatter assembly on device (assemble/ell.py — the reference's
      search+atomicAdd kernel, re-done as precomputed-slot scatter-add);
-  4. Chebyshev-Jacobi PCG where every SpMV is the banded Pallas kernel
-     (auto-dispatched by ELLMatrix.matvec) — the mesh-independent(ish)
-     preconditioning VERDICT.md r2 item 5 asked for.
+  4. PCG where every SpMV is the banded Pallas kernel (auto-dispatched by
+     ELLMatrix.matvec), preconditioned by Chebyshev-Jacobi (default) or
+     the smoothed-aggregation AMG V-cycle (--precond amg, solve/amg.py) —
+     the mesh-independent preconditioning VERDICT.md r2 item 5 asked for.
 
-    python examples/unstructured_1m.py [--n 1000] [--degree 14]
+    python examples/unstructured_1m.py [--n 1000] [--precond amg]
 """
 import argparse
 import json
@@ -64,8 +65,11 @@ def main(argv=None):
     ap.add_argument("--degree", type=int, default=14,
                     help="Chebyshev polynomial degree")
     ap.add_argument("--tol", type=float, default=1e-5)
-    ap.add_argument("--precond", choices=["chebyshev", "jacobi"],
-                    default="chebyshev")
+    ap.add_argument("--precond", choices=["amg", "chebyshev", "jacobi"],
+                    default="chebyshev",
+                    help="amg = smoothed-aggregation V-cycle (solve/amg.py,"
+                    " mesh-independent iterations); chebyshev = polynomial"
+                    " Jacobi; jacobi = diagonal")
     ap.add_argument("--lmax", choices=["bound", "power"], default="bound",
                     help="lmax for the Chebyshev interval: 'bound' = "
                     "Gershgorin row sums (guaranteed safe); 'power' = "
@@ -117,7 +121,14 @@ def main(argv=None):
     A, b = apply_dirichlet_ell(A, b, bc)
 
     t0 = time.perf_counter()
-    if args.precond == "chebyshev":
+    if args.precond == "amg":
+        from tpufem.solve.amg import build_amg
+        hier = build_amg(A)
+        M = hier.apply
+        print(f"# AMG: levels {[lv.A.shape[0] for lv in hier.levels]}"
+              f" + coarse {hier.coarse_inv.shape[0]}, operator complexity"
+              f" {hier.operator_complexity:.2f}", file=sys.stderr)
+    elif args.precond == "chebyshev":
         if args.lmax == "bound":
             lmax = lambda_max_bound(A)
         else:

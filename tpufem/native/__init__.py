@@ -66,6 +66,10 @@ def _load() -> Optional[ctypes.CDLL]:
                                np.ctypeslib.ndpointer(
                                    np.int64, flags="C_CONTIGUOUS")]
     lib.tpufem_rcm.restype = None
+    lib.tpufem_greedy_aggregate.argtypes = [
+        _i32p, ctypes.c_int64, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+    lib.tpufem_greedy_aggregate.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -141,6 +145,20 @@ def ell_pattern(conn: np.ndarray, num_nodes: int, width: int):
     if nnz < 0:
         raise ValueError(f"width {width} smaller than max row degree")
     return int(nnz), cols, diag, slots
+
+
+def greedy_aggregate(cols: np.ndarray):
+    """Native two-pass greedy aggregation (partition parity with
+    tpufem.solve.amg.greedy_aggregate; ids are raw creation order — the
+    caller renumbers).  Returns (agg [n] int64, n_agg)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (run build_native())")
+    cols = np.ascontiguousarray(cols, np.int32)
+    n, k = cols.shape
+    agg = np.empty(n, np.int64)
+    na = lib.tpufem_greedy_aggregate(cols, n, k, agg)
+    return agg, int(na)
 
 
 def reverse_cuthill_mckee(cols: np.ndarray) -> np.ndarray:

@@ -259,4 +259,54 @@ void tpufem_rcm(const int32_t* cols, int64_t n, int32_t K, int64_t* perm) {
   for (int64_t i = 0; i < n; ++i) perm[i] = out[n - 1 - i];
 }
 
+// Two-pass greedy aggregation (Vanek/Mandel/Brezina smoothed aggregation)
+// over an ELL adjacency pattern; self/padding entries (cols == row) are
+// ignored.  Returns the aggregate count; ids are in creation order —
+// callers normalize by first-member renumbering, so only the PARTITION
+// must match tpufem.solve.amg.greedy_aggregate (the executable spec):
+// same seeding order, same most-frequent-neighbor attach with ties to the
+// smallest id, same singleton fallback.
+int64_t tpufem_greedy_aggregate(const int32_t* cols, int64_t n, int32_t K,
+                                int64_t* agg) {
+  for (int64_t i = 0; i < n; ++i) agg[i] = -1;
+  int64_t na = 0;
+  for (int64_t i = 0; i < n; ++i) {      // pass 1: free-neighborhood seeds
+    if (agg[i] != -1) continue;
+    bool free_nb = true;
+    for (int32_t k = 0; k < K; ++k) {
+      int32_t c = cols[i * K + k];
+      if (c != i && agg[c] != -1) { free_nb = false; break; }
+    }
+    if (!free_nb) continue;
+    agg[i] = na;
+    for (int32_t k = 0; k < K; ++k) {
+      int32_t c = cols[i * K + k];
+      if (c != i) agg[c] = na;
+    }
+    ++na;
+  }
+  std::vector<int64_t> pass1(agg, agg + n);
+  for (int64_t i = 0; i < n; ++i) {      // pass 2 (reads pass-1 state)
+    if (agg[i] != -1) continue;
+    int64_t best = -1, best_cnt = 0;
+    for (int32_t k = 0; k < K; ++k) {
+      int32_t c = cols[i * K + k];
+      if (c == i) continue;
+      int64_t a = pass1[c];
+      if (a < 0) continue;
+      int64_t cnt = 0;
+      for (int32_t k2 = 0; k2 < K; ++k2) {
+        int32_t c2 = cols[i * K + k2];
+        if (c2 != i && pass1[c2] == a) ++cnt;
+      }
+      if (best < 0 || cnt > best_cnt || (cnt == best_cnt && a < best)) {
+        best = a;
+        best_cnt = cnt;
+      }
+    }
+    agg[i] = (best >= 0) ? best : na++;  // isolated: singleton
+  }
+  return na;
+}
+
 }  // extern "C"

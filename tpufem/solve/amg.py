@@ -1,0 +1,382 @@
+"""Smoothed-aggregation algebraic multigrid for unstructured ELL systems.
+
+The reference stops at assembling its unstructured ELL matrix
+(/root/reference/fea_test_sm_sym_sparse2.cu:273-282 — no solver exists).
+tpufem's geometric multigrid (solve/multigrid.py) needs exactly nested
+structured grids; Chebyshev-Jacobi (solve/precond.py) is mesh-robust-ish
+but its iteration count still grows with the mesh.  This module is the
+mesh-independent preconditioner for general unstructured systems
+(VERDICT.md r2 item 5, the "ambitious" option): classical smoothed
+aggregation (Vanek/Mandel/Brezina '96) with all setup on the host in
+vectorized numpy (+ a native C++ fast path for the one sequential loop)
+and the entire V-cycle on device.
+
+TPU-first design decisions:
+
+* **Greedy graph aggregation, aggregates ordered by minimum fine index.**
+  Pass 1 seeds an aggregate at every node whose whole neighborhood is
+  free; pass 2 attaches leftovers to the pass-1 aggregate most common
+  among their neighbors (Vanek's standard two-pass).  Because the fine
+  matrix is RCM-ordered (the banded-SpMV precondition), numbering the
+  aggregates by their first fine node makes every coarse operator inherit
+  the band: coarse bandwidth ~ fine bandwidth / aggregate size.  No
+  second RCM pass is needed, every level's SpMV auto-dispatches to the
+  banded Pallas kernel, and the prolongator columns track ``row /
+  aggregate_size`` — the precondition for a rectangular banded transfer
+  kernel.
+* **Host Galerkin setup, device cycle.**  P = (I - omega D^-1 A) T and
+  A_c = P^T A P are irregular sparse-sparse products — scatter-heavy,
+  wrong for the MXU — computed once on the host with chunked vectorized
+  numpy (sort + reduceat, no per-entry Python loops), then shipped as
+  concrete ELL device arrays.  The V-cycle itself is pure jit: banded
+  SpMVs, Chebyshev polynomial smoothers (fixed coefficients), and a dense
+  MXU matmul with the explicit coarsest-level inverse.
+* **SPD by construction.**  The symmetric V(1,1) cycle with identical
+  symmetric polynomial pre/post smoothers, Galerkin coarse operators, and
+  exact coarsest solve is a fixed symmetric positive definite operator,
+  hence a valid CG preconditioner.
+
+Intended use: close a jitted solve over the concrete hierarchy
+(``M=hier.apply``) exactly like the other preconditioners — passing the
+hierarchy *through* a jit boundary would retrace its ELLMatrix leaves as
+tracers and lose the banded fast path.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpufem.sparse.ell import ELLMatrix, ell_matvec
+
+__all__ = ["AMGLevel", "AMGHierarchy", "build_amg", "greedy_aggregate"]
+
+
+# -- aggregation ----------------------------------------------------------------
+
+def greedy_aggregate(cols: np.ndarray, *, use_native: bool = True):
+    """Two-pass greedy aggregation over an ELL adjacency pattern.
+
+    Returns ``(agg, n_agg)``: aggregate id per node, ids numbered by first
+    (minimum) member node so an RCM-ordered input yields band-preserving
+    coarse numbering.  Pass 1: any node whose entire neighborhood is
+    unaggregated seeds an aggregate containing itself + neighbors.  Pass 2
+    attaches the rest to the pass-1 aggregate most frequent among their
+    neighbors (ties: smallest id); isolated leftovers become singletons.
+    The numpy loop is the executable specification; the native C++ version
+    (tpufem/native/meshgen.cpp:tpufem_greedy_aggregate) is exact parity.
+    """
+    cols = np.asarray(cols, np.int32)
+    n, K = cols.shape
+    if use_native:
+        try:
+            from tpufem import native
+            if native.available():
+                agg, na = native.greedy_aggregate(cols)
+                return _renumber_by_first(agg, na, n)
+        except Exception:
+            pass
+    agg = np.full(n, -1, np.int64)
+    na = 0
+    for i in range(n):                      # pass 1
+        if agg[i] != -1:
+            continue
+        nb = cols[i]
+        nb = nb[nb != i]
+        if (agg[nb] != -1).any():
+            continue
+        agg[i] = na
+        agg[nb] = na
+        na += 1
+    pass1 = agg.copy()
+    for i in range(n):                      # pass 2 (reads pass-1 state)
+        if agg[i] != -1:
+            continue
+        nb = cols[i]
+        nbagg = pass1[nb[nb != i]]
+        nbagg = nbagg[nbagg != -1]
+        if nbagg.size:
+            ids, cnt = np.unique(nbagg, return_counts=True)
+            agg[i] = ids[np.argmax(cnt)]    # unique is sorted: ties -> min
+        else:
+            agg[i] = na                     # isolated: singleton
+            na += 1
+    return _renumber_by_first(agg, na, n)
+
+
+def _renumber_by_first(agg, na, n):
+    """Renumber aggregate ids by minimum member node.  Any id assignment
+    with the same partition normalizes to the same result, so the native
+    and numpy paths agree bit-for-bit; on RCM input the coarse numbering
+    then sweeps the band in fine order (band-preserving)."""
+    first = np.full(na, n, np.int64)
+    np.minimum.at(first, agg, np.arange(n, dtype=np.int64))
+    order = np.argsort(first, kind="stable")
+    rank = np.empty(na, np.int64)
+    rank[order] = np.arange(na, dtype=np.int64)
+    return rank[agg], na
+
+
+# -- host-side sparse helpers (numpy, vectorized) -------------------------------
+
+def _coo_dedup(rows, cols, vals, ncols):
+    """Sum duplicate (row, col) COO entries.  Returns sorted (r, c, v)."""
+    key = rows.astype(np.int64) * np.int64(ncols) + cols
+    order = np.argsort(key, kind="stable")
+    key = key[order]
+    vals = vals[order]
+    first = np.empty(key.shape, bool)
+    first[0] = True
+    np.not_equal(key[1:], key[:-1], out=first[1:])
+    starts = np.flatnonzero(first)
+    v = np.add.reduceat(vals, starts)
+    k = key[starts]
+    return (k // ncols).astype(np.int64), (k % ncols).astype(np.int64), v
+
+
+def _coo_to_ell(rows, cols, vals, nrows, pad_cols=None):
+    """(row-sorted, deduped) COO -> ELL data [n, K] / cols [n, K].
+
+    Padding slots point at ``pad_cols[i]`` (default: own row) with value 0
+    — the gather matvec needs no mask.  Real entries fill slots 0..len-1,
+    so a row's first ``cols == row`` hit is always the real diagonal.
+    """
+    counts = np.bincount(rows, minlength=nrows).astype(np.int64)
+    K = max(1, int(counts.max()))
+    starts = np.zeros(nrows + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    pos = np.arange(rows.size, dtype=np.int64) - starts[rows]
+    if pad_cols is None:
+        pad_cols = np.arange(nrows, dtype=np.int64)
+    data = np.zeros((nrows, K), vals.dtype)
+    ell_cols = np.broadcast_to(pad_cols[:, None], (nrows, K)).copy()
+    data[rows, pos] = vals
+    ell_cols[rows, pos] = cols
+    return data, ell_cols.astype(np.int32)
+
+
+def _ell_to_coo(data, cols):
+    """ELL -> COO, dropping zero-valued entries except the diagonal."""
+    n, K = data.shape
+    rows = np.repeat(np.arange(n, dtype=np.int64), K)
+    c = cols.astype(np.int64).ravel()
+    v = data.ravel()
+    keep = (v != 0) | (rows == c)   # padding aliases diag with 0: dedup sums
+    return rows[keep], c[keep], v[keep]
+
+
+def _spmm_ell_coo(a_data, a_cols, p_data, p_cols, n_coarse, chunk):
+    """C = A @ P for A, P in zero-padded ELL; returns deduped COO of C.
+
+    Triplet expansion per fine-row chunk: N*K*Kp raw triplets, deduped
+    chunkwise to bound memory; chunks own disjoint row ranges so the
+    concatenation stays deduped and row-sorted.
+    """
+    n = a_data.shape[0]
+    out = []
+    for s in range(0, n, chunk):
+        e = min(n, s + chunk)
+        ad = a_data[s:e]                      # [m, K]
+        ac = a_cols[s:e].astype(np.int64)     # [m, K]
+        pd = p_data[ac]                       # [m, K, Kp]
+        pc = p_cols[ac].astype(np.int64)      # [m, K, Kp]
+        kkp = ad.shape[1] * pd.shape[2]
+        vals = (ad[:, :, None] * pd).ravel()
+        rows = np.repeat(np.arange(s, e, dtype=np.int64), kkp)
+        cols = pc.ravel()
+        keep = vals != 0
+        keep[::kkp] = True                    # keep every row alive
+        out.append(_coo_dedup(rows[keep], cols[keep], vals[keep], n_coarse))
+    return (np.concatenate([o[0] for o in out]),
+            np.concatenate([o[1] for o in out]),
+            np.concatenate([o[2] for o in out]))
+
+
+def _spmm_t_coo(p_data, p_cols, c_rows, c_cols, c_vals, n_coarse, chunk):
+    """G = P^T @ C for P in zero-padded ELL and C in row-sorted COO."""
+    parts = []
+    m = c_rows.size
+    Kp = p_data.shape[1]
+    for s in range(0, m, chunk):
+        e = min(m, s + chunk)
+        ci = c_rows[s:e]
+        w = p_data[ci]                        # [mm, Kp]
+        a = p_cols[ci].astype(np.int64)       # [mm, Kp]
+        vals = (c_vals[s:e, None] * w).ravel()
+        rows = a.ravel()
+        cols = np.repeat(c_cols[s:e], Kp)
+        keep = vals != 0
+        keep[::Kp] = True
+        parts.append(_coo_dedup(rows[keep], cols[keep], vals[keep],
+                                n_coarse))
+    r = np.concatenate([p[0] for p in parts])
+    c = np.concatenate([p[1] for p in parts])
+    v = np.concatenate([p[2] for p in parts])
+    return _coo_dedup(r, c, v, n_coarse)
+
+
+# -- hierarchy ------------------------------------------------------------------
+
+class AMGLevel(NamedTuple):
+    A: ELLMatrix            # level operator (banded ELL, auto Pallas)
+    inv_diag: jax.Array     # 1 / diag(A)
+    lmax: float             # Gershgorin bound on spec(D^-1 A)
+    p_data: jax.Array       # prolongator ELL values   [n_f, Kp]
+    p_cols: jax.Array       # prolongator ELL columns  [n_f, Kp]
+    r_data: jax.Array       # restriction (= P^T) ELL values  [n_c, Kr]
+    r_cols: jax.Array       # restriction ELL columns         [n_c, Kr]
+
+
+class AMGHierarchy(NamedTuple):
+    levels: tuple           # tuple[AMGLevel], fine -> coarse
+    coarse_inv: jax.Array   # dense inverse of the coarsest operator
+    smoother_degree: int
+    smoother_ratio: float
+    operator_complexity: float   # sum(nnz of all A_l) / nnz(A_0)
+
+    def apply(self, r):
+        """z = V-cycle(r): SPD preconditioner application (close a jitted
+        solve over the concrete hierarchy; see module docstring)."""
+        return _vcycle(self, 0, r)
+
+    def __call__(self, r):
+        return self.apply(r)
+
+
+def _diag_of(data, cols):
+    """Row diagonal, robust to zero-valued padding aliasing it."""
+    n = data.shape[0]
+    return np.where(cols == np.arange(n, dtype=np.int64)[:, None],
+                    data, 0.0).sum(1)
+
+
+def _cheb_coeffs(degree, lmax, ratio):
+    """rho recurrence of the Chebyshev smoother (host floats)."""
+    lmin = lmax / ratio
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma1 = theta / delta
+    rhos = []
+    rho = 1.0 / sigma1
+    for _ in range(degree):
+        rhos.append(rho)
+        rho = 1.0 / (2.0 * sigma1 - rho)
+    return theta, delta, rhos
+
+
+def _smooth(level: AMGLevel, degree, ratio, r0):
+    """z ~ A^-1 r0 by the degree-m Chebyshev polynomial in D^-1 A.
+
+    Identical recurrence to solve.precond.chebyshev, but the interval only
+    reaches down to lmax/ratio — coarse levels own everything below.
+    Fixed coefficients -> linear, symmetric, positive on the interval.
+    """
+    theta, delta, rhos = _cheb_coeffs(degree, level.lmax, ratio)
+    mv = level.A.matvec
+    inv_d = level.inv_diag
+    d = (inv_d * r0) / theta
+    z = d
+    r = r0
+    for k in range(1, degree):
+        r = r - mv(d)
+        d = rhos[k] * rhos[k - 1] * d + (2.0 * rhos[k] / delta) * (inv_d * r)
+        z = z + d
+    return z
+
+
+def _vcycle(h: AMGHierarchy, l: int, r):
+    if l == len(h.levels):
+        return h.coarse_inv @ r
+    lv = h.levels[l]
+    deg, ratio = h.smoother_degree, h.smoother_ratio
+    x = _smooth(lv, deg, ratio, r)                       # pre-smooth (x0=0)
+    res = r - lv.A.matvec(x)
+    rc = ell_matvec(lv.r_data, lv.r_cols, res)           # restrict
+    xc = _vcycle(h, l + 1, rc)
+    x = x + ell_matvec(lv.p_data, lv.p_cols, xc)         # prolong + correct
+    x = x + _smooth(lv, deg, ratio, r - lv.A.matvec(x))  # post-smooth
+    return x
+
+
+def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
+              omega_scale: float = 4.0 / 3.0, smoother_degree: int = 2,
+              smoother_ratio: float = 8.0,
+              chunk: int = 1 << 21) -> AMGHierarchy:
+    """Build a smoothed-aggregation hierarchy from a concrete ELL matrix.
+
+    ``A`` should be RCM-ordered (banded) — the same precondition as the
+    banded SpMV auto-dispatch; min-index-numbered aggregates then keep
+    every coarse operator banded.  A non-banded input still works, it just
+    rides the gather SpMV.  All setup math runs in float64 on the host;
+    device arrays are cast to ``A.dtype``.
+    """
+    data = np.asarray(A.data, np.float64)
+    cols = np.asarray(A.cols)
+    dtype = A.dtype
+    levels = []
+    nnz0 = float(np.count_nonzero(data))
+    nnz_total = nnz0
+    fine_A = A
+
+    for _ in range(max_levels):
+        n = data.shape[0]
+        if n <= coarse_n:
+            break
+        agg, nc = greedy_aggregate(cols)
+        count = np.bincount(agg, minlength=nc).astype(np.float64)
+        tval = 1.0 / np.sqrt(count)[agg]          # normalized tentative T
+
+        diag = _diag_of(data, cols)
+        inv_d = np.where(diag != 0, 1.0 / diag, 1.0)
+        lmax = float(np.max(np.abs(data).sum(1) * inv_d))   # Gershgorin
+        omega = omega_scale / lmax
+
+        # P = (I - omega D^-1 A) T  as deduped COO over [n, nc]
+        ar, ac, av = _ell_to_coo(data, cols)
+        pr = np.concatenate([ar, np.arange(n, dtype=np.int64)])
+        pc = np.concatenate([agg[ac], agg])
+        pv = np.concatenate([-omega * inv_d[ar] * av * tval[ac], tval])
+        pr, pc, pv = _coo_dedup(pr, pc, pv, nc)
+        p_data, p_cols = _coo_to_ell(pr, pc, pv, n, pad_cols=agg)
+
+        # Galerkin A_c = P^T (A P), chunked
+        cr, cc, cv = _spmm_ell_coo(data, cols, p_data, p_cols, nc, chunk)
+        gr, gc, gv = _spmm_t_coo(p_data, p_cols, cr, cc, cv, nc, chunk)
+        c_data, c_cols = _coo_to_ell(gr, gc, gv, nc)
+        nnz_total += float(np.count_nonzero(c_data))
+
+        # restriction = P^T, explicitly as its own ELL gather; pad slots
+        # point at each aggregate's first member (valid, in-band)
+        rr, rc_, rv = _coo_dedup(pc, pr, pv, n)
+        r_pad = np.full(nc, n, np.int64)
+        np.minimum.at(r_pad, agg, np.arange(n, dtype=np.int64))
+        r_data, r_cols = _coo_to_ell(rr, rc_, rv, nc, pad_cols=r_pad)
+
+        Adev = fine_A if fine_A is not None else ELLMatrix(
+            jnp.asarray(data.astype(dtype)),
+            jnp.asarray(cols.astype(np.int32)))
+        fine_A = None
+        levels.append(AMGLevel(
+            A=Adev,
+            inv_diag=jnp.asarray(inv_d.astype(dtype)),
+            lmax=lmax,
+            p_data=jnp.asarray(p_data.astype(dtype)),
+            p_cols=jnp.asarray(p_cols),
+            r_data=jnp.asarray(r_data.astype(dtype)),
+            r_cols=jnp.asarray(r_cols)))
+        data, cols = c_data, c_cols
+
+    # coarsest: explicit dense inverse (SPD, tiny -> one MXU matmul/apply)
+    n = data.shape[0]
+    dense = np.zeros((n, n))
+    np.add.at(dense, (np.repeat(np.arange(n), data.shape[1]),
+                      cols.astype(np.int64).ravel()), data.ravel())
+    coarse_inv = jnp.asarray(np.linalg.inv(dense).astype(dtype))
+
+    return AMGHierarchy(levels=tuple(levels), coarse_inv=coarse_inv,
+                        smoother_degree=int(smoother_degree),
+                        smoother_ratio=float(smoother_ratio),
+                        operator_complexity=nnz_total / nnz0)
