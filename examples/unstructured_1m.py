@@ -70,6 +70,14 @@ def main(argv=None):
                     help="amg = smoothed-aggregation V-cycle (solve/amg.py,"
                     " mesh-independent iterations); chebyshev = polynomial"
                     " Jacobi; jacobi = diagonal")
+    ap.add_argument("--agg", choices=["interval", "greedy"],
+                    default="interval",
+                    help="AMG aggregation: interval = gather-free "
+                    "transfers (TPU fast path); greedy = classical Vanek")
+    ap.add_argument("--cycle", choices=["W", "V"], default="W",
+                    help="AMG cycle: W (gamma=2) bounds the iteration "
+                    "growth of interval's 1D semicoarsening at "
+                    "geometrically-decaying extra coarse work")
     ap.add_argument("--lmax", choices=["bound", "power"], default="bound",
                     help="lmax for the Chebyshev interval: 'bound' = "
                     "Gershgorin row sums (guaranteed safe); 'power' = "
@@ -78,6 +86,10 @@ def main(argv=None):
     ap.add_argument("--interpret", action="store_true",
                     help="CPU smoke test (timings meaningless)")
     args = ap.parse_args(argv)
+    if args.interpret:
+        # must precede the first device use; Pallas kernels then run
+        # interpreted automatically (ELLMatrix.matvec checks the backend)
+        jax.config.update("jax_platforms", "cpu")
     n = args.n
 
     t0 = time.perf_counter()
@@ -123,11 +135,12 @@ def main(argv=None):
     t0 = time.perf_counter()
     if args.precond == "amg":
         from tpufem.solve.amg import build_amg
-        hier = build_amg(A)
+        hier = build_amg(A, aggregation=args.agg, cycle=args.cycle)
         M = hier.apply
         print(f"# AMG: levels {[lv.A.shape[0] for lv in hier.levels]}"
               f" + coarse {hier.coarse_inv.shape[0]}, operator complexity"
-              f" {hier.operator_complexity:.2f}", file=sys.stderr)
+              f" {hier.operator_complexity:.2f}, {args.cycle}-cycle",
+              file=sys.stderr)
     elif args.precond == "chebyshev":
         if args.lmax == "bound":
             lmax = lambda_max_bound(A)
@@ -166,6 +179,8 @@ def main(argv=None):
         "precond": args.precond,
         "cheb_degree": args.degree if args.precond == "chebyshev" else 0,
         "lmax_mode": args.lmax if args.precond == "chebyshev" else None,
+        "amg_agg": args.agg if args.precond == "amg" else None,
+        "amg_cycle": args.cycle if args.precond == "amg" else None,
         "pcg_iters": int(res.iterations),
         "relres": float(res.residual_norm),
         "converged": bool(res.converged),

@@ -99,6 +99,96 @@ def test_vcycle_is_spd():
     assert w.min() > 0, f"V-cycle not PD: min eig {w.min()}"
 
 
+def test_interval_transfers_match_explicit_p():
+    """Matrix-free interval transfers == dense P / P^T application.
+
+    P = (I - omega D^-1 A) T must be applied EXACTLY (same operator the
+    Galerkin product used) or the preconditioner loses symmetry."""
+    _, A, _, _ = _system(16)
+    hier = build_amg(A, coarse_n=20, max_levels=1, aggregation="interval",
+                     interval_size=6)
+    from tpufem.solve.amg import _prolong, _restrict
+    lv = hier.levels[0]
+    n = A.shape[0]
+    s = lv.s
+    nc = -(-n // s)
+    Ad = np.asarray(A.to_dense(), np.float64)
+    agg = np.arange(n) // s
+    T = np.zeros((n, nc))
+    T[np.arange(n), agg] = np.asarray(lv.tv, np.float64)
+    D_inv = np.diag(np.asarray(lv.inv_diag, np.float64))
+    P = (np.eye(n) - lv.omega * D_inv @ Ad) @ T
+
+    rng = np.random.default_rng(0)
+    xc = rng.standard_normal(nc).astype(np.float32)
+    r = rng.standard_normal(n).astype(np.float32)
+    got_p = np.asarray(_prolong(lv, jnp.asarray(xc)), np.float64)
+    got_r = np.asarray(_restrict(lv, jnp.asarray(r)), np.float64)
+    assert np.abs(got_p - P @ xc).max() < 1e-4 * np.abs(P @ xc).max()
+    assert np.abs(got_r - P.T @ r).max() < 1e-4 * np.abs(P.T @ r).max()
+
+
+def test_interval_vcycle_is_spd():
+    import jax
+    _, A, _, _ = _system(12)
+    hier = build_amg(A, coarse_n=30, aggregation="interval")
+    n = A.shape[0]
+    ap = jax.jit(hier.apply)   # one trace; eager per-column is ~10 min
+    cols = [np.asarray(ap(jnp.zeros(n, A.dtype).at[i].set(1.0)))
+            for i in range(n)]
+    M = np.stack(cols, axis=1)
+    assert np.abs(M - M.T).max() < 1e-6 * np.abs(M).max()
+    w = np.linalg.eigvalsh(0.5 * (M + M.T))
+    assert w.min() > 0, f"interval V-cycle not PD: min eig {w.min()}"
+
+
+def test_interval_wcycle_is_spd():
+    """gamma=2: coarse solve becomes B = 2C - C A_c C — still SPD when the
+    coarse cycle C is SPD and convergent (spec(C A_c) in (0,2)).
+    coarse_n small enough for >= 2 levels, else gamma never engages."""
+    import jax
+    _, A, _, _ = _system(12)
+    hier = build_amg(A, coarse_n=10, aggregation="interval", cycle="W")
+    assert len(hier.levels) >= 2 and hier.gamma == 2
+    n = A.shape[0]
+    ap = jax.jit(hier.apply)
+    cols = [np.asarray(ap(jnp.zeros(n, A.dtype).at[i].set(1.0)))
+            for i in range(n)]
+    M = np.stack(cols, axis=1)
+    assert np.abs(M - M.T).max() < 1e-6 * np.abs(M).max()
+    w = np.linalg.eigvalsh(0.5 * (M + M.T))
+    assert w.min() > 0, f"interval W-cycle not PD: min eig {w.min()}"
+
+
+def test_interval_wcycle_amg_pcg_bounded_iteration_growth():
+    """interval aggregation is 1D semicoarsening along the RCM line, so a
+    V-cycle's iteration count grows with the mesh (21 -> 49 over a 16x row
+    increase); the W-cycle (gamma=2) bounds the growth (21 -> 38 measured)
+    while every transfer stays gather-free.  Greedy aggregation (tested
+    below) stays flat but pays gather transfers per cycle — at 1M rows the
+    gathers cost ~40x the whole interval W-cycle (BENCH_NOTES r3)."""
+    iters = {}
+    for n in (40, 160):
+        mesh, A, b, exact = _system(n)
+        hier = build_amg(A, coarse_n=300, aggregation="interval",
+                         cycle="W")
+        res = cg(A.matvec, b, tol=1e-8, maxiter=100, M=hier.apply)
+        assert bool(res.converged)
+        iters[n] = int(res.iterations)
+        u = np.asarray(res.x)
+        ue = exact(mesh.coords)
+        err = float(np.sqrt(np.mean((u - ue) ** 2))
+                    / np.sqrt(np.mean(ue ** 2)))
+        assert err < 20.0 / (n * n)
+    assert iters[160] <= 2.0 * iters[40], iters
+    assert iters[160] <= 45, iters
+    # coarse levels stay banded (the whole point of interval numbering)
+    for lv in hier.levels:
+        c = np.asarray(lv.A.cols).astype(np.int64)
+        bw = int(np.abs(c - np.arange(c.shape[0])[:, None]).max())
+        assert bw <= 4096
+
+
 def test_amg_pcg_mesh_independent_iterations():
     iters = {}
     for n in (40, 160):

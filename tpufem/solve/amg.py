@@ -13,6 +13,17 @@ and the entire V-cycle on device.
 
 TPU-first design decisions:
 
+* **Two aggregation modes, both band-preserving.**  ``interval`` (the TPU
+  default choice at scale): fixed-stride contiguous aggregates along the
+  RCM line — the prolongator becomes P = (I - omega D^-1 A) T with T a
+  stride-``s`` window operator, so BOTH transfer applications are
+  repeat/pad/reshape + one banded SpMV: the V-cycle contains zero
+  gathers.  ``greedy`` (classical Vanek): better-shaped aggregates,
+  slightly fewer iterations, but P/P^T apply as ELL gathers — the op TPU
+  is worst at.  See tests/test_amg.py for measured iteration counts of
+  both modes; at scale the gather cost dominates the cycle, so interval
+  is the performant choice even where it costs a few more iterations.
+
 * **Greedy graph aggregation, aggregates ordered by minimum fine index.**
   Pass 1 seeds an aggregate at every node whose whole neighborhood is
   free; pass 2 attaches leftovers to the pass-1 aggregate most common
@@ -224,10 +235,15 @@ class AMGLevel(NamedTuple):
     A: ELLMatrix            # level operator (banded ELL, auto Pallas)
     inv_diag: jax.Array     # 1 / diag(A)
     lmax: float             # Gershgorin bound on spec(D^-1 A)
-    p_data: jax.Array       # prolongator ELL values   [n_f, Kp]
-    p_cols: jax.Array       # prolongator ELL columns  [n_f, Kp]
-    r_data: jax.Array       # restriction (= P^T) ELL values  [n_c, Kr]
-    r_cols: jax.Array       # restriction ELL columns         [n_c, Kr]
+    p_data: jax.Array       # prolongator ELL values   [n_f, Kp]   (greedy)
+    p_cols: jax.Array       # prolongator ELL columns  [n_f, Kp]   (greedy)
+    r_data: jax.Array       # restriction (= P^T) ELL values [n_c, Kr] (greedy)
+    r_cols: jax.Array       # restriction ELL columns        [n_c, Kr] (greedy)
+    # interval (fixed-stride contiguous) aggregation fast path: transfers
+    # become repeat/reshape + one banded SpMV — no gathers anywhere.
+    s: int = 0              # aggregate stride (0 = greedy/gather transfers)
+    tv: jax.Array = None    # [n_f] tentative scales 1/sqrt(|agg|)
+    omega: float = 0.0      # prolongator smoothing weight
 
 
 class AMGHierarchy(NamedTuple):
@@ -236,6 +252,7 @@ class AMGHierarchy(NamedTuple):
     smoother_degree: int
     smoother_ratio: float
     operator_complexity: float   # sum(nnz of all A_l) / nnz(A_0)
+    gamma: int = 1          # coarse visits per cycle: 1 = V-cycle, 2 = W
 
     def apply(self, r):
         """z = V-cycle(r): SPD preconditioner application (close a jitted
@@ -287,6 +304,34 @@ def _smooth(level: AMGLevel, degree, ratio, r0):
     return z
 
 
+def _restrict(lv: AMGLevel, res):
+    """rc = P^T res.
+
+    Interval mode: P^T = T^T (I - omega A D^-1) (A symmetric), and T^T is
+    a fixed-stride window sum — pad + reshape + sum, zero gathers; the one
+    SpMV rides the banded Pallas kernel.
+    """
+    if lv.s == 0:
+        return ell_matvec(lv.r_data, lv.r_cols, res)
+    w = lv.tv * (res - lv.omega * lv.A.matvec(lv.inv_diag * res))
+    n = w.shape[0]
+    nc = -(-n // lv.s)
+    return jnp.pad(w, (0, nc * lv.s - n)).reshape(nc, lv.s).sum(axis=1)
+
+
+def _prolong(lv: AMGLevel, xc):
+    """x = P xc.
+
+    Interval mode: P = (I - omega D^-1 A) T, and T xc is a fixed-stride
+    upsample — repeat + truncate, zero gathers.
+    """
+    if lv.s == 0:
+        return ell_matvec(lv.p_data, lv.p_cols, xc)
+    n = lv.tv.shape[0]
+    t = lv.tv * jnp.repeat(xc, lv.s, total_repeat_length=lv.s * xc.shape[0])[:n]
+    return t - lv.omega * (lv.inv_diag * lv.A.matvec(t))
+
+
 def _vcycle(h: AMGHierarchy, l: int, r):
     if l == len(h.levels):
         return h.coarse_inv @ r
@@ -294,16 +339,25 @@ def _vcycle(h: AMGHierarchy, l: int, r):
     deg, ratio = h.smoother_degree, h.smoother_ratio
     x = _smooth(lv, deg, ratio, r)                       # pre-smooth (x0=0)
     res = r - lv.A.matvec(x)
-    rc = ell_matvec(lv.r_data, lv.r_cols, res)           # restrict
+    rc = _restrict(lv, res)
     xc = _vcycle(h, l + 1, rc)
-    x = x + ell_matvec(lv.p_data, lv.p_cols, xc)         # prolong + correct
+    # W-cycle (gamma=2): re-visit the coarse problem with its updated
+    # residual.  Restores mesh-independent convergence under the 1D
+    # interval (semicoarsening) aggregation; cost decays geometrically
+    # ((gamma/s)^l) so the fine level still dominates.  Skip when the
+    # next level is the dense exact solve (a second visit is a no-op).
+    if h.gamma >= 2 and l + 1 < len(h.levels):
+        cA = h.levels[l + 1].A
+        xc = xc + _vcycle(h, l + 1, rc - cA.matvec(xc))
+    x = x + _prolong(lv, xc)                             # correct
     x = x + _smooth(lv, deg, ratio, r - lv.A.matvec(x))  # post-smooth
     return x
 
 
 def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
               omega_scale: float = 4.0 / 3.0, smoother_degree: int = 2,
-              smoother_ratio: float = 8.0,
+              smoother_ratio: float = 8.0, aggregation: str = "greedy",
+              interval_size: int = 6, cycle: str = "V",
               chunk: int = 1 << 21) -> AMGHierarchy:
     """Build a smoothed-aggregation hierarchy from a concrete ELL matrix.
 
@@ -312,7 +366,21 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
     every coarse operator banded.  A non-banded input still works, it just
     rides the gather SpMV.  All setup math runs in float64 on the host;
     device arrays are cast to ``A.dtype``.
+
+    ``aggregation``: "greedy" (Vanek two-pass; transfers applied as ELL
+    gathers) or "interval" (fixed-stride contiguous aggregates of
+    ``interval_size`` along the RCM line; transfers become repeat/reshape
+    + one banded SpMV — every op in the V-cycle then rides the Pallas
+    fast path, the right trade on TPU where gather is the expensive op).
+
+    ``cycle``: "V" (one coarse visit) or "W" (two — restores
+    mesh-independent iteration counts under interval aggregation's 1D
+    semicoarsening, at (2/s)^l geometrically-decaying extra coarse work).
     """
+    if aggregation not in ("greedy", "interval"):
+        raise ValueError(f"unknown aggregation {aggregation!r}")
+    if cycle not in ("V", "W"):
+        raise ValueError(f"unknown cycle {cycle!r}")
     data = np.asarray(A.data, np.float64)
     cols = np.asarray(A.cols)
     dtype = A.dtype
@@ -325,7 +393,12 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
         n = data.shape[0]
         if n <= coarse_n:
             break
-        agg, nc = greedy_aggregate(cols)
+        if aggregation == "interval":
+            s = int(interval_size)
+            agg = np.arange(n, dtype=np.int64) // s
+            nc = int((n - 1) // s) + 1
+        else:
+            agg, nc = greedy_aggregate(cols)
         count = np.bincount(agg, minlength=nc).astype(np.float64)
         tval = 1.0 / np.sqrt(count)[agg]          # normalized tentative T
 
@@ -348,25 +421,35 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
         c_data, c_cols = _coo_to_ell(gr, gc, gv, nc)
         nnz_total += float(np.count_nonzero(c_data))
 
-        # restriction = P^T, explicitly as its own ELL gather; pad slots
-        # point at each aggregate's first member (valid, in-band)
-        rr, rc_, rv = _coo_dedup(pc, pr, pv, n)
-        r_pad = np.full(nc, n, np.int64)
-        np.minimum.at(r_pad, agg, np.arange(n, dtype=np.int64))
-        r_data, r_cols = _coo_to_ell(rr, rc_, rv, nc, pad_cols=r_pad)
-
         Adev = fine_A if fine_A is not None else ELLMatrix(
             jnp.asarray(data.astype(dtype)),
             jnp.asarray(cols.astype(np.int32)))
         fine_A = None
-        levels.append(AMGLevel(
-            A=Adev,
-            inv_diag=jnp.asarray(inv_d.astype(dtype)),
-            lmax=lmax,
-            p_data=jnp.asarray(p_data.astype(dtype)),
-            p_cols=jnp.asarray(p_cols),
-            r_data=jnp.asarray(r_data.astype(dtype)),
-            r_cols=jnp.asarray(r_cols)))
+        if aggregation == "interval":
+            # transfers applied matrix-free (repeat/reshape + banded SpMV)
+            levels.append(AMGLevel(
+                A=Adev,
+                inv_diag=jnp.asarray(inv_d.astype(dtype)),
+                lmax=lmax,
+                p_data=None, p_cols=None, r_data=None, r_cols=None,
+                s=s,
+                tv=jnp.asarray(tval.astype(dtype)),
+                omega=float(omega)))
+        else:
+            # restriction = P^T, explicitly as its own ELL gather; pad
+            # slots point at each aggregate's first member (valid, in-band)
+            rr, rc_, rv = _coo_dedup(pc, pr, pv, n)
+            r_pad = np.full(nc, n, np.int64)
+            np.minimum.at(r_pad, agg, np.arange(n, dtype=np.int64))
+            r_data, r_cols = _coo_to_ell(rr, rc_, rv, nc, pad_cols=r_pad)
+            levels.append(AMGLevel(
+                A=Adev,
+                inv_diag=jnp.asarray(inv_d.astype(dtype)),
+                lmax=lmax,
+                p_data=jnp.asarray(p_data.astype(dtype)),
+                p_cols=jnp.asarray(p_cols),
+                r_data=jnp.asarray(r_data.astype(dtype)),
+                r_cols=jnp.asarray(r_cols)))
         data, cols = c_data, c_cols
 
     # coarsest: explicit dense inverse (SPD, tiny -> one MXU matmul/apply)
@@ -379,4 +462,5 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
     return AMGHierarchy(levels=tuple(levels), coarse_inv=coarse_inv,
                         smoother_degree=int(smoother_degree),
                         smoother_ratio=float(smoother_ratio),
-                        operator_complexity=nnz_total / nnz0)
+                        operator_complexity=nnz_total / nnz0,
+                        gamma={"V": 1, "W": 2}[cycle])

@@ -91,7 +91,14 @@ class ELLMatrix:
                             - np.arange(n)[:, None]).max())
             if bw <= _AUTO_BAND_MAX:
                 from tpufem.sparse.ell_pallas import ell_band_plan
-                R = max(256, -(-bw // 128) * 128) if bw else 256
+                # Fatter blocks amortize per-grid-step launch/DMA latency:
+                # the R-sweep at 1M rows measured 0.345/0.217/0.141/0.113 ms
+                # for R=1024/2048/4096/8192 (BENCH_NOTES r3) — the kernel is
+                # step-latency-bound, not round- or traffic-bound.  Cap at
+                # 8192 (3R still fits the int16 rel index) and keep >= 8
+                # steps' worth of rows so small matrices don't over-pad.
+                R = max(256, -(-bw // 128) * 128,
+                        min(8192, -(-n // (8 * 128)) * 128))
                 plan = ell_band_plan(np.asarray(self.data), cols,
                                      block_rows=R)
                 # resolution may happen while tracing (matvec called on a

@@ -80,7 +80,7 @@ class ELLBandPlan(NamedTuple):
 _D_NONE = 64
 
 
-def ell_band_plan(data, cols, *, block_rows: int = 1024,
+def ell_band_plan(data, cols, *, block_rows: int = None,
                   per_block: bool = False, segment: bool = True,
                   max_segments: int = 16) -> ELLBandPlan:
     """Rewrite an ELL matrix (data [N, K], cols [N, K]) for the kernel.
@@ -88,7 +88,20 @@ def ell_band_plan(data, cols, *, block_rows: int = 1024,
     Requires bandwidth <= block_rows: every cols[i, :] must lie within
     [blockstart(i) - R, blockstart(i) + 2R).  Raises ValueError otherwise
     (renumber the mesh, e.g. RCM, or raise block_rows).
+
+    ``block_rows=None`` auto-picks: as large as possible (capped at 8192,
+    where the int16 rel index still holds) while covering the bandwidth
+    and keeping >= 8 grid steps — the kernel is step-latency-bound
+    (R-sweep, BENCH_NOTES r3: 0.345 -> 0.113 ms at 1M rows going
+    1024 -> 8192).
     """
+    if block_rows is None:
+        c = np.asarray(cols)
+        nn = c.shape[0]
+        bw = int(np.abs(c.astype(np.int64)
+                        - np.arange(nn)[:, None]).max()) if nn else 0
+        block_rows = max(256, -(-bw // 128) * 128,
+                         min(8192, -(-nn // (8 * 128)) * 128))
     R = int(block_rows)
     if R % 128:
         raise ValueError("block_rows must be a multiple of 128")
