@@ -1,0 +1,108 @@
+"""Distributed interval-aggregation AMG (tpufem.dist.amg).
+
+Checks on the 8-device virtual CPU mesh: (a) the sharded cycle equals the
+single-device hierarchy's cycle on the same padded system to fp tolerance
+(transfers shard-local by the stripe-height invariant, matvecs via halo
+exchange); (b) AMG-PCG across the mesh matches the single-device AMG-PCG
+solution; (c) the full unstructured pipeline (perturbed mesh -> RCM ->
+generic ELL assembly -> distributed AMG-PCG) solves the PDE.
+"""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from tpufem.assemble.dense import assemble_vector
+from tpufem.assemble.ell import assemble_ell
+from tpufem.assemble.local import element_load, p1_stiffness
+from tpufem.fem.elements import P1Triangle
+from tpufem.fem.quadrature import triangle_rule
+from tpufem.mesh.adjacency import ell_pattern, reverse_cuthill_mckee
+from tpufem.mesh.core import Mesh as FemMesh
+from tpufem.mesh.rectangle import perturbed_rectangle_mesh
+from tpufem.solve.bc import apply_dirichlet_ell
+from tpufem.solve.cg import cg
+from tpufem.solve.poisson import model_problem_2d
+from tpufem.dist.amg import build_dist_amg, dist_amg_apply, dist_amg_pcg
+
+
+def _system(n, seed=0):
+    mesh = perturbed_rectangle_mesh(-3, 3, -3, 3, n, n, jitter=0.25,
+                                    seed=seed)
+    pat = ell_pattern(mesh.conn, mesh.num_nodes, pad_to=8)
+    perm = reverse_cuthill_mckee(pat.cols)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=perm.dtype)
+    mesh = FemMesh(coords=np.ascontiguousarray(mesh.coords[perm]),
+                   conn=inv[mesh.conn].astype(mesh.conn.dtype),
+                   node_flags=np.ascontiguousarray(mesh.node_flags[perm]),
+                   cell_type=mesh.cell_type)
+    pat = ell_pattern(mesh.conn, mesh.num_nodes, pad_to=8)
+    ec = jnp.asarray(mesh.element_coords())
+    element = P1Triangle()
+    A = assemble_ell(pat, p1_stiffness(ec, element))
+    f, exact = model_problem_2d()
+    b = assemble_vector(jnp.asarray(mesh.conn),
+                        element_load(ec, element, triangle_rule(5), f),
+                        mesh.num_nodes)
+    A, b = apply_dirichlet_ell(A, b, jnp.asarray(mesh.node_flags != 0))
+    return mesh, A, b, exact
+
+
+def _dev_mesh(cpu_devices):
+    return Mesh(np.array(cpu_devices[:8]), ("rows",))
+
+
+def test_dist_cycle_matches_single_device(cpu_devices):
+    """Sharded W-cycle == base hierarchy apply on the padded system."""
+    _, A, _, _ = _system(48)
+    h = build_dist_amg(np.asarray(A.data), np.asarray(A.cols), 8,
+                       coarse_n=120)
+    assert len(h.level_arrays) >= 2        # exercise recursion + W visits
+    for st in h.static[:-1]:
+        assert st.local_rows % st.s == 0   # the shard-local invariant
+    rng = np.random.default_rng(0)
+    r = np.zeros(h.np_rows)
+    r[:h.n] = rng.standard_normal(h.n)
+    z_dist = np.asarray(dist_amg_apply(h, jnp.asarray(r),
+                                       _dev_mesh(cpu_devices)))
+    z_base = np.asarray(h.base.apply(jnp.asarray(r)))
+    np.testing.assert_allclose(z_dist, z_base, rtol=1e-10, atol=1e-12)
+    # NOTE the preconditioner may write into padding rows (the boundary
+    # aggregate straddles real+padding) — harmless: A is decoupled there,
+    # b is 0, so the PCG solution's padding block converges to 0 (the
+    # e2e tests below compare x[:n] against single-device solves).
+
+
+def test_dist_amg_pcg_matches_single_device(cpu_devices):
+    _, A, b, _ = _system(40)
+    h = build_dist_amg(np.asarray(A.data), np.asarray(A.cols), 8,
+                       coarse_n=120)
+    x, res = dist_amg_pcg(h, np.asarray(b), _dev_mesh(cpu_devices),
+                          tol=1e-10, maxiter=100)
+    assert bool(res.converged)
+    # single-device reference on the SAME padded system (base.levels[0].A
+    # is the identity-padded fine operator the sharded solve iterates on)
+    Ap = h.base.levels[0].A
+    bp = jnp.asarray(np.pad(np.asarray(b), (0, h.np_rows - h.n)))
+    ref = cg(Ap.matvec, bp, tol=1e-10, maxiter=100, M=h.base.apply)
+    assert bool(ref.converged)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 1
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x)[:h.n],
+                               rtol=0, atol=1e-8)
+
+
+def test_dist_amg_pcg_unstructured_e2e(cpu_devices):
+    mesh, A, b, exact = _system(64)
+    h = build_dist_amg(np.asarray(A.data), np.asarray(A.cols), 8,
+                       coarse_n=200)
+    x, res = dist_amg_pcg(h, np.asarray(b), _dev_mesh(cpu_devices),
+                          tol=1e-8, maxiter=100)
+    assert bool(res.converged)
+    assert int(res.iterations) <= 45       # W-cycle iteration bound
+    u = np.asarray(x)
+    ue = exact(mesh.coords)
+    err = float(np.sqrt(np.mean((u - ue) ** 2))
+                / np.sqrt(np.mean(ue ** 2)))
+    assert err < 20.0 / (64 * 64)
