@@ -94,3 +94,34 @@ def test_unstructured_100k_dofs():
     rel = (np.sqrt(np.mean((np.asarray(res.x) - ue) ** 2))
            / np.sqrt(np.mean(ue ** 2)))
     assert rel < 1e-3, f"rel err {rel}"
+
+
+def test_solve_poisson_ell_amg_one_call():
+    """The one-call API: unstructured mesh -> RCM -> banded-SpMV CG with the
+    interval-W AMG preconditioner (solve.poisson precond="amg")."""
+    from tpufem.solve.poisson import solve_poisson_ell
+
+    f, exact = model_problem_2d()
+    mesh = unstructured_mesh(n=48, jitter=0.2)
+    sol = solve_poisson_ell(mesh, f, tol=1e-9, maxiter=60,
+                            precond="amg", matvec="pallas", interpret=True)
+    assert bool(sol.cg.converged)
+    assert int(sol.cg.iterations) <= 40       # mesh-robust cycle, not Jacobi
+    ue = exact(mesh.coords)
+    rel = (np.sqrt(np.mean((np.asarray(sol.u) - ue) ** 2))
+           / np.sqrt(np.mean(ue ** 2)))
+    assert rel < 0.005, f"rel err {rel}"
+
+
+def test_solve_poisson_ell_chebyshev_gather_path():
+    from tpufem.solve.poisson import solve_poisson_ell
+
+    f, exact = model_problem_2d()
+    mesh = unstructured_mesh(n=24, jitter=0.2)
+    sol = solve_poisson_ell(mesh, f, tol=1e-9, maxiter=500,
+                            precond="chebyshev")
+    assert bool(sol.cg.converged)
+    ue = exact(mesh.coords)
+    rel = (np.sqrt(np.mean((np.asarray(sol.u) - ue) ** 2))
+           / np.sqrt(np.mean(ue ** 2)))
+    assert rel < 0.01, f"rel err {rel}"

@@ -120,6 +120,7 @@ def solve_poisson_dense(mesh: Mesh, f: Optional[Callable] = None, *,
 def solve_poisson_ell(mesh: Mesh, f: Optional[Callable] = None, *,
                       dtype=jnp.float64, tol: float = 1e-8,
                       maxiter: int = 10_000, precondition: bool = True,
+                      precond: Optional[str] = None,
                       assembly_method: str = "scatter",
                       pad_to: Optional[int] = None,
                       matvec: str = "gather", block_rows: int = 1024,
@@ -128,8 +129,15 @@ def solve_poisson_ell(mesh: Mesh, f: Optional[Callable] = None, *,
 
     matvec="pallas" RCM-reorders the system (mesh.adjacency.
     reverse_cuthill_mckee) and runs CG on the banded Pallas SpMV
-    (sparse.ell_pallas) — measured 176x the XLA gather matvec at 1M rows on
-    a v5e; the solution is returned in original node order.
+    (sparse.ell_pallas) — measured ~500x the XLA gather matvec at 1M rows
+    on a v5e; the solution is returned in original node order.
+
+    ``precond``: "jacobi" | "chebyshev" (degree-14 polynomial Jacobi,
+    Gershgorin lmax) | "amg" (interval-aggregation W-cycle,
+    solve.amg — mesh-robust iteration counts).  Defaults to the legacy
+    ``precondition`` bool (Jacobi).  With "amg"/"chebyshev" the pallas
+    path iterates on the auto-dispatching ELLMatrix, so every SpMV in
+    both CG and the AMG cycle rides the banded kernel.
     """
     if f is None:
         f = model_problem_2d()[0] if mesh.dim == 2 else model_problem_3d()[0]
@@ -145,37 +153,59 @@ def solve_poisson_ell(mesh: Mesh, f: Optional[Callable] = None, *,
     b, bc_mask = _rhs_and_bc(space, ecoords, f, rule, dtype)
     A, b = apply_dirichlet_ell(A, b, bc_mask)
 
+    if precond is not None and precond not in ("jacobi", "chebyshev", "amg"):
+        raise ValueError(f"unknown precond {precond!r}")
+
+    def _build_M(Ap):
+        if precond == "amg":
+            from tpufem.solve.amg import build_amg
+            return build_amg(Ap, aggregation="interval", cycle="W").apply
+        if precond == "chebyshev":
+            from tpufem.solve.precond import chebyshev, lambda_max_bound
+            return chebyshev(Ap.matvec, Ap.diagonal(), degree=14,
+                             lmax=lambda_max_bound(Ap))
+        if precond == "jacobi" or precondition:
+            return jacobi(Ap)
+        return None
+
     if matvec == "pallas":
         import numpy as np
 
         from tpufem.mesh.adjacency import reverse_cuthill_mckee
-        from tpufem.sparse.ell import reorder_ell
+        from tpufem.sparse.ell import ELLMatrix, reorder_ell
         from tpufem.sparse.ell_pallas import ell_band_plan, ell_matvec_pallas
 
         cols_np = np.asarray(A.cols)
         perm = reverse_cuthill_mckee(cols_np)
         data_p, cols_p = reorder_ell(np.asarray(A.data), cols_np, perm)
-        plan = ell_band_plan(data_p, cols_p, block_rows=block_rows)
-        d_t = jnp.asarray(plan.data_t)
-        r_t = jnp.asarray(plan.rel)
         b_p = jnp.asarray(np.asarray(b)[perm])
-        if precondition:
-            diag = np.take_along_axis(
-                data_p, np.argmax(cols_p == np.arange(
-                    len(perm))[:, None], axis=1)[:, None], axis=1)[:, 0]
-            inv_d = jnp.asarray(
-                np.where(diag != 0, 1.0 / diag, 1.0), b_p.dtype)
-            M = lambda r: r * inv_d
+        if precond is not None:
+            # ELLMatrix auto-dispatches to the banded kernel; the AMG /
+            # Chebyshev machinery consumes the same matrix object
+            A_p = ELLMatrix(jnp.asarray(data_p), jnp.asarray(cols_p))
+            mv = A_p.matvec
+            M = _build_M(A_p)
         else:
-            M = None
-        mv = lambda v: ell_matvec_pallas(plan, d_t, r_t, v,
-                                         interpret=interpret)
+            plan = ell_band_plan(data_p, cols_p, block_rows=block_rows)
+            d_t = jnp.asarray(plan.data_t)
+            r_t = jnp.asarray(plan.rel)
+            if precondition:
+                diag = np.take_along_axis(
+                    data_p, np.argmax(cols_p == np.arange(
+                        len(perm))[:, None], axis=1)[:, None], axis=1)[:, 0]
+                inv_d = jnp.asarray(
+                    np.where(diag != 0, 1.0 / diag, 1.0), b_p.dtype)
+                M = lambda r: r * inv_d
+            else:
+                M = None
+            mv = lambda v: ell_matvec_pallas(plan, d_t, r_t, v,
+                                             interpret=interpret)
         res = cg(mv, b_p, tol=tol, maxiter=maxiter, M=M)
         inv = np.empty_like(perm)
         inv[perm] = np.arange(perm.size)
         u = res.x[jnp.asarray(inv)]
         return PoissonSolution(u=u, cg=res, num_dofs=space.num_dofs)
 
-    M = jacobi(A) if precondition else None
+    M = _build_M(A)
     res = cg(A.matvec, b, tol=tol, maxiter=maxiter, M=M)
     return PoissonSolution(u=res.x, cg=res, num_dofs=space.num_dofs)
