@@ -123,7 +123,8 @@ def solve_poisson_ell(mesh: Mesh, f: Optional[Callable] = None, *,
                       precond: Optional[str] = None,
                       assembly_method: str = "scatter",
                       pad_to: Optional[int] = None,
-                      matvec: str = "gather", block_rows: int = 1024,
+                      matvec: str = "gather",
+                      block_rows: Optional[int] = None,
                       interpret: bool = False) -> PoissonSolution:
     """ELL-path solve: the scalable single-chip pipeline (configs 2-3).
 
