@@ -58,7 +58,7 @@ def test_dist_cycle_matches_single_device(cpu_devices):
     """Sharded W-cycle == base hierarchy apply on the padded system."""
     _, A, _, _ = _system(48)
     h = build_dist_amg(np.asarray(A.data), np.asarray(A.cols), 8,
-                       coarse_n=120)
+                       coarse_n=120, keep_base=True)
     assert len(h.level_arrays) >= 2        # exercise recursion + W visits
     for st in h.static[:-1]:
         assert st.local_rows % st.s == 0   # the shard-local invariant
@@ -78,7 +78,7 @@ def test_dist_cycle_matches_single_device(cpu_devices):
 def test_dist_amg_pcg_matches_single_device(cpu_devices):
     _, A, b, _ = _system(40)
     h = build_dist_amg(np.asarray(A.data), np.asarray(A.cols), 8,
-                       coarse_n=120)
+                       coarse_n=120, keep_base=True)
     x, res = dist_amg_pcg(h, np.asarray(b), _dev_mesh(cpu_devices),
                           tol=1e-10, maxiter=100)
     assert bool(res.converged)
@@ -90,6 +90,22 @@ def test_dist_amg_pcg_matches_single_device(cpu_devices):
     assert bool(ref.converged)
     assert abs(int(res.iterations) - int(ref.iterations)) <= 1
     np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x)[:h.n],
+                               rtol=0, atol=1e-8)
+
+
+def test_dist_amg_pcg_zero_levels_tiny_system(cpu_devices):
+    """A system at/below coarse_n builds zero levels — the preconditioner
+    degenerates to the replicated dense inverse and the solve must still
+    work (regression: used to IndexError on level_arrays[0])."""
+    mesh, A, b, exact = _system(12)          # 169 rows < default coarse_n
+    h = build_dist_amg(np.asarray(A.data), np.asarray(A.cols), 8)
+    assert h.level_arrays == () and h.base is None
+    x, res = dist_amg_pcg(h, np.asarray(b), _dev_mesh(cpu_devices),
+                          tol=1e-10, maxiter=20)
+    assert bool(res.converged)
+    assert int(res.iterations) <= 3          # exact preconditioner
+    ref = cg(A.matvec, b, tol=1e-12, maxiter=2000)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
                                rtol=0, atol=1e-8)
 
 

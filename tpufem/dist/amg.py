@@ -40,8 +40,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tpufem.dist.ell import ell_partition, sharded_ell_matvec
-from tpufem.solve.amg import AMGHierarchy, _cheb_coeffs, build_amg
+from tpufem.dist.ell import (ell_partition, pad_identity_rows,
+                             sharded_ell_matvec, sharded_pcg_loop)
+from tpufem.solve.amg import _cheb_smooth, build_amg
 from tpufem.solve.cg import CGResult
 from tpufem.sparse.ell import ELLMatrix
 
@@ -62,6 +63,12 @@ class DistAMGHierarchy(NamedTuple):
     # tv [NP]) — leading axis shards over the device mesh
     level_arrays: tuple
     static: tuple           # tuple[_LevelStatic], parallel to level_arrays
+    # the fine operator's partition for the outer CG matvec — aliases
+    # level_arrays[0] when levels exist; the only partition otherwise
+    # (a system already at/below coarse_n builds ZERO levels and the
+    # cycle is just the replicated dense solve)
+    fine_arrays: tuple      # (data [NP,K], rel [NP,K], inv_diag [NP])
+    fine_halo: int
     coarse_inv: jax.Array   # [NC, NC] dense inverse, replicated
     smoother_degree: int
     smoother_ratio: float
@@ -69,28 +76,16 @@ class DistAMGHierarchy(NamedTuple):
     n: int                  # original (unpadded) fine rows
     np_rows: int            # padded fine rows (= num_shards * stripe)
     num_shards: int
-    base: AMGHierarchy      # single-device hierarchy on the padded system
-                            # (parity testing / fallback; same math)
-
-
-def _pad_identity(data, cols, np_rows):
-    """Pad an ELL system with decoupled identity rows (diag 1, slot 0)."""
-    n, K = data.shape
-    if np_rows == n:
-        return data, cols
-    pad = np_rows - n
-    data = np.concatenate([data, np.zeros((pad, K), data.dtype)])
-    data[n:, 0] = 1.0
-    self_cols = np.arange(n, np_rows, dtype=cols.dtype)[:, None]
-    cols = np.concatenate(
-        [cols, np.broadcast_to(self_cols, (pad, K)).astype(cols.dtype)])
-    return data, cols
+    base: object = None     # single-device AMGHierarchy on the padded
+                            # system; kept only with keep_base=True
+                            # (doubles device memory — parity tests only)
 
 
 def build_dist_amg(data, cols, num_shards: int, *, coarse_n: int = 1200,
                    max_levels: int = 12, interval_size: int = 6,
                    cycle: str = "W", omega_scale: float = 4.0 / 3.0,
                    smoother_degree: int = 2, smoother_ratio: float = 8.0,
+                   keep_base: bool = False,
                    chunk: int = 1 << 21) -> DistAMGHierarchy:
     """Build a sharded interval-aggregation hierarchy from host ELL arrays.
 
@@ -98,6 +93,10 @@ def build_dist_amg(data, cols, num_shards: int, *, coarse_n: int = 1200,
     (numpy [N, K]).  The system is padded so that every level's rows
     divide ``num_shards`` with stripe heights that are multiples of the
     aggregate stride — the invariant that keeps all transfers shard-local.
+
+    ``keep_base``: retain the single-device hierarchy (device-resident
+    operator per level) on the result for parity testing; off by default
+    to avoid doubling accelerator memory at scale.
     """
     data = np.asarray(data)
     cols = np.asarray(cols)
@@ -118,7 +117,7 @@ def build_dist_amg(data, cols, num_shards: int, *, coarse_n: int = 1200,
         if steps == nlev:
             break
         nlev = steps
-    data_p, cols_p = _pad_identity(data, cols, np_rows)
+    data_p, cols_p = pad_identity_rows(data, cols, np_rows)
 
     A = ELLMatrix(jnp.asarray(data_p), jnp.asarray(cols_p))
     base = build_amg(A, coarse_n=coarse_n, max_levels=max_levels,
@@ -144,13 +143,27 @@ def build_dist_amg(data, cols, num_shards: int, *, coarse_n: int = 1200,
                                    omega=lv.omega,
                                    local_rows=part.local_rows))
 
+    if level_arrays:
+        # the outer CG's matvec aliases level 0's arrays — no extra memory
+        fine_arrays = level_arrays[0][:3]
+        fine_halo = static[0].halo
+    else:
+        # whole system at/below coarse_n: the "cycle" is the dense solve,
+        # but the CG still needs the fine operator's partition
+        part = ell_partition(data_p, cols_p, num_shards)
+        fine_arrays = (jnp.asarray(part.data), jnp.asarray(part.rel),
+                       jnp.asarray(part.inv_diag))
+        fine_halo = part.halo
+
     return DistAMGHierarchy(level_arrays=tuple(level_arrays),
                             static=tuple(static),
+                            fine_arrays=fine_arrays, fine_halo=fine_halo,
                             coarse_inv=base.coarse_inv,
                             smoother_degree=int(smoother_degree),
                             smoother_ratio=float(smoother_ratio),
                             gamma=base.gamma, n=n, np_rows=np_rows,
-                            num_shards=num_shards, base=base)
+                            num_shards=num_shards,
+                            base=base if keep_base else None)
 
 
 def _level_specs(h: DistAMGHierarchy, axis_name: str):
@@ -170,22 +183,13 @@ def _mk_cycle(h: DistAMGHierarchy, axis_name: str):
     coarse_rows = h.coarse_inv.shape[0] // h.num_shards
 
     def smooth(l, levels_l, r0):
-        data_l, rel_l, invd_l, tv_l = levels_l[l]
+        data_l, rel_l, invd_l, _ = levels_l[l]
         st = h.static[l]
-        theta, delta, rhos = _cheb_coeffs(deg, st.lmax, ratio)
 
         def mv(v):
             return sharded_ell_matvec(data_l, rel_l, v, st.halo, axis_name)
 
-        d = (invd_l * r0) / theta
-        z = d
-        r = r0
-        for k in range(1, deg):
-            r = r - mv(d)
-            d = rhos[k] * rhos[k - 1] * d + (2.0 * rhos[k] / delta) * (
-                invd_l * r)
-            z = z + d
-        return z
+        return _cheb_smooth(mv, invd_l, st.lmax, deg, ratio, r0)
 
     def cycle(l, levels_l, coarse_inv, r):
         if l == nlev:
@@ -257,8 +261,7 @@ def dist_amg_pcg(h: DistAMGHierarchy, b, mesh: Mesh, *,
     """
     tol = float(tol)
     cycle = _mk_cycle(h, axis_name)
-    fine = h.level_arrays[0]
-    halo0 = h.static[0].halo
+    fine_halo = h.fine_halo
 
     b = np.asarray(b)
     if b.shape[0] == h.n and h.np_rows != h.n:
@@ -268,54 +271,24 @@ def dist_amg_pcg(h: DistAMGHierarchy, b, mesh: Mesh, *,
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(_level_specs(h, axis_name), P(None, None), P(axis_name)),
+        in_specs=(_level_specs(h, axis_name),
+                  (P(axis_name, None), P(axis_name, None), P(axis_name)),
+                  P(None, None), P(axis_name)),
         out_specs=(P(axis_name), P(), P(), P(), P()))
-    def run(levels_l, coarse_inv, b_l):
-        data_l, rel_l, _, _ = levels_l[0]
+    def run(levels_l, fine_l, coarse_inv, b_l):
+        data_l, rel_l, _ = fine_l
 
         def matvec(v):
-            return sharded_ell_matvec(data_l, rel_l, v, halo0, axis_name)
+            return sharded_ell_matvec(data_l, rel_l, v, fine_halo,
+                                      axis_name)
 
         def prec(r):
             return cycle(0, levels_l, coarse_inv, r)
 
-        def pdot(a, c):
-            return jax.lax.psum(jnp.vdot(a, c), axis_name)
+        return sharded_pcg_loop(matvec, prec, b_l, axis_name, tol, maxiter)
 
-        b_norm2 = pdot(b_l, b_l)
-        safe_b = jnp.where(b_norm2 > 0, b_norm2, 1.0)
-        atol2 = (tol ** 2) * safe_b
-
-        r0 = b_l
-        z0 = prec(r0)
-        rz0 = pdot(r0, z0)
-
-        def not_done(state):
-            _, _, _, _, rz, rr, k, bad = state
-            return (rr > atol2) & (k < maxiter) & (~bad)
-
-        def step(state):
-            x, r, z, p, rz, rr, k, bad = state
-            Ap = matvec(p)
-            pAp = pdot(p, Ap)
-            alpha = rz / pAp
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = prec(r)
-            rz_new = pdot(r, z)
-            rr_new = pdot(r, r)
-            p = z + (rz_new / rz) * p
-            bad = (~jnp.isfinite(rz_new)) | (~jnp.isfinite(pAp)) | (pAp <= 0)
-            return (x, r, z, p, rz_new, rr_new, k + 1, bad)
-
-        init = (jnp.zeros_like(b_l), r0, z0, z0, rz0, b_norm2,
-                jnp.int32(0), jnp.asarray(False))
-        x, r, _, _, _, rr, k, bad = jax.lax.while_loop(not_done, step, init)
-        relres = jnp.sqrt(rr / safe_b)
-        converged = (rr <= atol2) & (~bad)
-        return x, k, relres, converged, bad
-
-    x, k, relres, converged, bad = run(h.level_arrays, h.coarse_inv, b_dev)
+    x, k, relres, converged, bad = run(h.level_arrays, h.fine_arrays,
+                                       h.coarse_inv, b_dev)
     res = CGResult(x=x, iterations=k, residual_norm=relres,
                    converged=converged, diverged=bad)
     return x[:h.n], res

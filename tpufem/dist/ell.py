@@ -36,6 +36,69 @@ __all__ = ["ELLPartition", "ell_partition", "sharded_ell_matvec",
            "bcsr_cg_sharded", "distributed_bcsr_solve"]
 
 
+def pad_identity_rows(data, cols, np_rows):
+    """Pad ELL arrays with decoupled identity rows (diag 1 in slot 0,
+    remaining slots self-pointing with value 0) up to ``np_rows``.  The CG
+    trajectory of the original system is preserved exactly."""
+    n, K = data.shape
+    if np_rows == n:
+        return data, cols
+    pad = np_rows - n
+    data = np.concatenate([data, np.zeros((pad, K), data.dtype)])
+    data[n:, 0] = 1.0
+    self_cols = np.arange(n, np_rows, dtype=cols.dtype)[:, None]
+    cols = np.concatenate(
+        [cols, np.broadcast_to(self_cols, (pad, K)).astype(cols.dtype)])
+    return data, cols
+
+
+def sharded_pcg_loop(matvec, prec, b_l, axis_name: str, tol: float,
+                     maxiter: int):
+    """Guarded PCG while_loop on shard-local state (call INSIDE shard_map).
+
+    ``matvec``/``prec`` are shard-local closures (halo exchange inside);
+    dot products are local-dot + psum.  Returns (x, iters, relres,
+    converged, bad) with the scalars replicated.  Shared by the ELL, BCSR
+    and distributed-AMG solvers so the breakdown/convergence logic lives
+    in exactly one place.
+    """
+    def pdot(a, c):
+        return jax.lax.psum(jnp.vdot(a, c), axis_name)
+
+    b_norm2 = pdot(b_l, b_l)
+    safe_b = jnp.where(b_norm2 > 0, b_norm2, 1.0)
+    atol2 = (tol ** 2) * safe_b
+
+    r0 = b_l
+    z0 = prec(r0)
+    rz0 = pdot(r0, z0)
+
+    def not_done(state):
+        _, _, _, _, rz, rr, k, bad = state
+        return (rr > atol2) & (k < maxiter) & (~bad)
+
+    def step(state):
+        x, r, z, p, rz, rr, k, bad = state
+        Ap = matvec(p)
+        pAp = pdot(p, Ap)
+        alpha = rz / pAp
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = prec(r)
+        rz_new = pdot(r, z)
+        rr_new = pdot(r, r)
+        p = z + (rz_new / rz) * p
+        bad = (~jnp.isfinite(rz_new)) | (~jnp.isfinite(pAp)) | (pAp <= 0)
+        return (x, r, z, p, rz_new, rr_new, k + 1, bad)
+
+    init = (jnp.zeros_like(b_l), r0, z0, z0, rz0, b_norm2,
+            jnp.int32(0), jnp.asarray(False))
+    x, r, _, _, _, rr, k, bad = jax.lax.while_loop(not_done, step, init)
+    relres = jnp.sqrt(rr / safe_b)
+    converged = (rr <= atol2) & (~bad)
+    return x, k, relres, converged, bad
+
+
 class ELLPartition(NamedTuple):
     """Row-stripe partition of an ELL matrix for ``num_shards`` devices."""
     data: np.ndarray        # [NP, K] values (identity padding rows)
@@ -65,14 +128,7 @@ def ell_partition(data, cols, num_shards: int, *,
     n, K = data.shape
     L = -(-n // num_shards)
     np_rows = L * num_shards
-    if np_rows != n:
-        pad = np_rows - n
-        data = np.pad(data, ((0, pad), (0, 0)))
-        data[n:, 0] = 1.0
-        self_cols = np.arange(n, np_rows, dtype=cols.dtype)[:, None]
-        pad_cols = np.broadcast_to(self_cols, (pad, K)).copy()
-        # slots 1.. of padding rows: self again (value 0, stays in-stripe)
-        cols = np.concatenate([cols, pad_cols])
+    data, cols = pad_identity_rows(data, cols, np_rows)
 
     rows = np.arange(np_rows)
     stripe_start = (rows // L) * L
@@ -127,43 +183,8 @@ def ell_cg_sharded(part: ELLPartition, b, mesh: Mesh, *,
         def matvec(v):
             return sharded_ell_matvec(data_l, rel_l, v, halo, axis_name)
 
-        def pdot(a, c):
-            return jax.lax.psum(jnp.vdot(a, c), axis_name)
-
         prec = (lambda r: r * invd_l) if diag_precondition else (lambda r: r)
-
-        b_norm2 = pdot(b_l, b_l)
-        safe_b = jnp.where(b_norm2 > 0, b_norm2, 1.0)
-        atol2 = (tol ** 2) * safe_b
-
-        r0 = b_l
-        z0 = prec(r0)
-        rz0 = pdot(r0, z0)
-
-        def not_done(state):
-            _, _, _, _, rz, rr, k, bad = state
-            return (rr > atol2) & (k < maxiter) & (~bad)
-
-        def step(state):
-            x, r, z, p, rz, rr, k, bad = state
-            Ap = matvec(p)
-            pAp = pdot(p, Ap)
-            alpha = rz / pAp
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = prec(r)
-            rz_new = pdot(r, z)
-            rr_new = pdot(r, r)
-            p = z + (rz_new / rz) * p
-            bad = (~jnp.isfinite(rz_new)) | (~jnp.isfinite(pAp)) | (pAp <= 0)
-            return (x, r, z, p, rz_new, rr_new, k + 1, bad)
-
-        init = (jnp.zeros_like(b_l), r0, z0, z0, rz0, b_norm2,
-                jnp.int32(0), jnp.asarray(False))
-        x, r, _, _, _, rr, k, bad = jax.lax.while_loop(not_done, step, init)
-        relres = jnp.sqrt(rr / safe_b)
-        converged = (rr <= atol2) & (~bad)
-        return x, k, relres, converged, bad
+        return sharded_pcg_loop(matvec, prec, b_l, axis_name, tol, maxiter)
 
     x, k, relres, converged, bad = run(data, rel, invd, b)
     return CGResult(x=x, iterations=k, residual_norm=relres,
@@ -275,45 +296,11 @@ def bcsr_cg_sharded(part: BCSRPartition, b, mesh: Mesh, *,
         def matvec(v):
             return sharded_bcsr_matvec(data_l, rel_l, v, halo, axis_name)
 
-        def pdot(a, c):
-            return jax.lax.psum(jnp.vdot(a, c), axis_name)
-
         def prec(r):
             rb = r.reshape(-1, bs)
             return jnp.einsum("nij,nj->ni", invd_l, rb).reshape(-1)
 
-        b_norm2 = pdot(b_l, b_l)
-        safe_b = jnp.where(b_norm2 > 0, b_norm2, 1.0)
-        atol2 = (tol ** 2) * safe_b
-
-        r0 = b_l
-        z0 = prec(r0)
-        rz0 = pdot(r0, z0)
-
-        def not_done(state):
-            _, _, _, _, rz, rr, k, bad = state
-            return (rr > atol2) & (k < maxiter) & (~bad)
-
-        def step(state):
-            x, r, z, p, rz, rr, k, bad = state
-            Ap = matvec(p)
-            pAp = pdot(p, Ap)
-            alpha = rz / pAp
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = prec(r)
-            rz_new = pdot(r, z)
-            rr_new = pdot(r, r)
-            p = z + (rz_new / rz) * p
-            bad = (~jnp.isfinite(rz_new)) | (~jnp.isfinite(pAp)) | (pAp <= 0)
-            return (x, r, z, p, rz_new, rr_new, k + 1, bad)
-
-        init = (jnp.zeros_like(b_l), r0, z0, z0, rz0, b_norm2,
-                jnp.int32(0), jnp.asarray(False))
-        x, r, _, _, _, rr, k, bad = jax.lax.while_loop(not_done, step, init)
-        relres = jnp.sqrt(rr / safe_b)
-        converged = (rr <= atol2) & (~bad)
-        return x, k, relres, converged, bad
+        return sharded_pcg_loop(matvec, prec, b_l, axis_name, tol, maxiter)
 
     x, k, relres, converged, bad = run(data, rel, invd, b)
     return CGResult(x=x, iterations=k, residual_norm=relres,

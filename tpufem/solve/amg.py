@@ -284,16 +284,16 @@ def _cheb_coeffs(degree, lmax, ratio):
     return theta, delta, rhos
 
 
-def _smooth(level: AMGLevel, degree, ratio, r0):
+def _cheb_smooth(mv, inv_d, lmax, degree, ratio, r0):
     """z ~ A^-1 r0 by the degree-m Chebyshev polynomial in D^-1 A.
 
     Identical recurrence to solve.precond.chebyshev, but the interval only
     reaches down to lmax/ratio — coarse levels own everything below.
     Fixed coefficients -> linear, symmetric, positive on the interval.
+    ``mv`` is any matvec closure — the distributed cycle (dist.amg)
+    passes its halo-exchange SpMV here.
     """
-    theta, delta, rhos = _cheb_coeffs(degree, level.lmax, ratio)
-    mv = level.A.matvec
-    inv_d = level.inv_diag
+    theta, delta, rhos = _cheb_coeffs(degree, lmax, ratio)
     d = (inv_d * r0) / theta
     z = d
     r = r0
@@ -302,6 +302,11 @@ def _smooth(level: AMGLevel, degree, ratio, r0):
         d = rhos[k] * rhos[k - 1] * d + (2.0 * rhos[k] / delta) * (inv_d * r)
         z = z + d
     return z
+
+
+def _smooth(level: AMGLevel, degree, ratio, r0):
+    return _cheb_smooth(level.A.matvec, level.inv_diag, level.lmax,
+                        degree, ratio, r0)
 
 
 def _restrict(lv: AMGLevel, res):

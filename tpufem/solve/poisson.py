@@ -136,9 +136,13 @@ def solve_poisson_ell(mesh: Mesh, f: Optional[Callable] = None, *,
     ``precond``: "jacobi" | "chebyshev" (degree-14 polynomial Jacobi,
     Gershgorin lmax) | "amg" (interval-aggregation W-cycle,
     solve.amg — mesh-robust iteration counts).  Defaults to the legacy
-    ``precondition`` bool (Jacobi).  With "amg"/"chebyshev" the pallas
-    path iterates on the auto-dispatching ELLMatrix, so every SpMV in
-    both CG and the AMG cycle rides the banded kernel.
+    ``precondition`` bool (Jacobi).  "amg" implies the RCM-reordered
+    path (its interval aggregation requires band ordering), regardless
+    of ``matvec``.  With "amg"/"chebyshev" the pallas path iterates on
+    an ELLMatrix whose banded plan is primed explicitly (honoring
+    ``block_rows``, covering any bandwidth), so every SpMV in both CG
+    and the AMG cycle rides the banded kernel; ``interpret`` is then
+    implied by running on a non-TPU backend rather than the flag.
     """
     if f is None:
         f = model_problem_2d()[0] if mesh.dim == 2 else model_problem_3d()[0]
@@ -156,6 +160,10 @@ def solve_poisson_ell(mesh: Mesh, f: Optional[Callable] = None, *,
 
     if precond is not None and precond not in ("jacobi", "chebyshev", "amg"):
         raise ValueError(f"unknown precond {precond!r}")
+    if precond == "amg":
+        # interval aggregation's stride-s windows are only meaningful on a
+        # band-ordered system — route through the RCM-reordered path
+        matvec = "pallas"
 
     def _build_M(Ap):
         if precond == "amg":
@@ -181,9 +189,13 @@ def solve_poisson_ell(mesh: Mesh, f: Optional[Callable] = None, *,
         data_p, cols_p = reorder_ell(np.asarray(A.data), cols_np, perm)
         b_p = jnp.asarray(np.asarray(b)[perm])
         if precond is not None:
-            # ELLMatrix auto-dispatches to the banded kernel; the AMG /
-            # Chebyshev machinery consumes the same matrix object
+            # prime the banded plan explicitly: covers ANY bandwidth and
+            # honors block_rows (the automatic dispatch declines past
+            # _AUTO_BAND_MAX and would silently fall back to the ~500x
+            # slower gather); the AMG / Chebyshev machinery consumes the
+            # same matrix object
             A_p = ELLMatrix(jnp.asarray(data_p), jnp.asarray(cols_p))
+            A_p.prime_band_plan(block_rows)
             mv = A_p.matvec
             M = _build_M(A_p)
         else:

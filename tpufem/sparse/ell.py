@@ -90,26 +90,33 @@ class ELLMatrix:
             bw = int(np.abs(cols.astype(np.int64)
                             - np.arange(n)[:, None]).max())
             if bw <= _AUTO_BAND_MAX:
-                from tpufem.sparse.ell_pallas import ell_band_plan
-                # Fatter blocks amortize per-grid-step launch/DMA latency:
-                # the R-sweep at 1M rows measured 0.345/0.217/0.141/0.113 ms
-                # for R=1024/2048/4096/8192 (BENCH_NOTES r3) — the kernel is
-                # step-latency-bound, not round- or traffic-bound.  Cap at
-                # 8192 (3R still fits the int16 rel index) and keep >= 8
-                # steps' worth of rows so small matrices don't over-pad.
-                R = max(256, -(-bw // 128) * 128,
-                        min(8192, -(-n // (8 * 128)) * 128))
-                plan = ell_band_plan(np.asarray(self.data), cols,
-                                     block_rows=R)
-                # resolution may happen while tracing (matvec called on a
-                # tracer x with concrete A captured by closure): force the
-                # cached device arrays to stay concrete, not trace-staged
-                with jax.ensure_compile_time_eval():
-                    self._band = (plan, jnp.asarray(plan.data_t),
-                                  jnp.asarray(plan.rel))
+                # block_rows=None: ell_band_plan's auto-pick (single
+                # source of the R policy — see its docstring)
+                self.prime_band_plan()
         except Exception:
             self._band = None     # any failure -> permanent gather fallback
         return self._band
+
+    def prime_band_plan(self, block_rows=None):
+        """Build + cache the banded Pallas plan UNCONDITIONALLY.
+
+        Unlike the automatic dispatch (which declines when the bandwidth
+        exceeds ``_AUTO_BAND_MAX``), this covers any bandwidth — the plan
+        just picks a block size >= the bandwidth.  Use for very-wide-band
+        systems (e.g. 3D unstructured at ~1M DOFs, RCM bandwidth ~ n^(2/3))
+        where the silent gather fallback would cost ~500x.  Raises on
+        failure instead of falling back.
+        """
+        from tpufem.sparse.ell_pallas import ell_band_plan
+        plan = ell_band_plan(np.asarray(self.data), np.asarray(self.cols),
+                             block_rows=block_rows)
+        # resolution may happen while tracing (matvec called on a
+        # tracer x with concrete A captured by closure): force the
+        # cached device arrays to stay concrete, not trace-staged
+        with jax.ensure_compile_time_eval():
+            self._band = (plan, jnp.asarray(plan.data_t),
+                          jnp.asarray(plan.rel))
+        return self
 
     def matvec(self, x):
         band = self._resolve_band()
