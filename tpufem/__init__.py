@@ -35,4 +35,13 @@ def __getattr__(name):
     if name == "solve_elasticity":
         from tpufem.solve.elasticity import solve_elasticity
         return solve_elasticity
+    if name == "solve_poisson_ell":
+        from tpufem.solve.poisson import solve_poisson_ell
+        return solve_poisson_ell
+    if name == "build_amg":
+        from tpufem.solve.amg import build_amg
+        return build_amg
+    if name == "build_dist_amg":
+        from tpufem.dist.amg import build_dist_amg
+        return build_dist_amg
     raise AttributeError(f"module 'tpufem' has no attribute {name!r}")
