@@ -160,13 +160,20 @@ def test_interval_wcycle_is_spd():
     assert w.min() > 0, f"interval W-cycle not PD: min eig {w.min()}"
 
 
-def test_interval_wcycle_amg_pcg_bounded_iteration_growth():
+def test_interval_wcycle_amg_pcg_bounded_iteration_growth(monkeypatch):
     """interval aggregation is 1D semicoarsening along the RCM line, so a
     V-cycle's iteration count grows with the mesh (21 -> 49 over a 16x row
     increase); the W-cycle (gamma=2) bounds the growth (21 -> 38 measured)
     while every transfer stays gather-free.  Greedy aggregation (tested
     below) stays flat but pays gather transfers per cycle — at 1M rows the
-    gathers cost ~40x the whole interval W-cycle (BENCH_NOTES r3)."""
+    gathers cost ~40x the whole interval W-cycle (BENCH_NOTES r3).
+
+    Iteration counts are matvec-backend-independent, so this test forces
+    the gather SpMV: the interpret-mode banded kernel at n=160 costs ~7
+    CPU-minutes and its numerics are covered by the parity tests above.
+    """
+    import tpufem.sparse.ell as ell_mod
+    monkeypatch.setattr(ell_mod, "_AUTO_BAND_MAX", -1)
     iters = {}
     for n in (40, 160):
         mesh, A, b, exact = _system(n)
