@@ -34,19 +34,32 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=96, help="mesh lines per side")
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--tol", type=float, default=1e-8)
-    ap.add_argument("--cpu", action="store_true", default=True,
-                    help="virtual CPU mesh (default; no pod hardware here)")
+    ap.add_argument("--cpu", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="virtual CPU mesh (default; --no-cpu runs on "
+                    "the ambient TPU devices of a real pod)")
     args = ap.parse_args(argv)
 
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count="
-            f"{args.devices}").strip()
+    if args.cpu:
+        # the flag is read once at backend init: make sure it requests at
+        # least --devices virtual devices (replace a smaller preexisting
+        # value, as __graft_entry__ does)
+        import re
+        xf = os.environ.get("XLA_FLAGS", "")
+        m = re.search(r"--xla_force_host_platform_device_count=(\d+)", xf)
+        if m is None or int(m.group(1)) < args.devices:
+            xf = re.sub(r"--xla_force_host_platform_device_count=\d+",
+                        "", xf)
+            os.environ["XLA_FLAGS"] = (
+                xf + f" --xla_force_host_platform_device_count="
+                f"{args.devices}").strip()
 
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if len(jax.devices()) < args.devices:
+        raise SystemExit(f"need {args.devices} devices, have "
+                         f"{len(jax.devices())}")
     import numpy as np
     import jax.numpy as jnp
     from jax.sharding import Mesh

@@ -59,17 +59,20 @@ class _LevelStatic(NamedTuple):
 
 
 class DistAMGHierarchy(NamedTuple):
-    # per-level sharded arrays: (data [NP,K], rel [NP,K], inv_diag [NP],
-    # tv [NP]) — leading axis shards over the device mesh
+    # per-level HOST arrays: (data [NP,K], rel [NP,K], inv_diag [NP],
+    # tv [NP]) — kept as numpy so no full copy ever lands on one device;
+    # dist_amg_apply/dist_amg_pcg device_put them with the row-stripe
+    # sharding, so each device only ever holds its own stripe
     level_arrays: tuple
     static: tuple           # tuple[_LevelStatic], parallel to level_arrays
     # the fine operator's partition for the outer CG matvec — aliases
     # level_arrays[0] when levels exist; the only partition otherwise
     # (a system already at/below coarse_n builds ZERO levels and the
     # cycle is just the replicated dense solve)
-    fine_arrays: tuple      # (data [NP,K], rel [NP,K], inv_diag [NP])
+    fine_arrays: tuple      # (data [NP,K], rel [NP,K], inv_diag [NP]) host
     fine_halo: int
-    coarse_inv: jax.Array   # [NC, NC] dense inverse, replicated
+    coarse_inv: np.ndarray  # [NC, NC] dense inverse (host; replicated at
+                            # solve time)
     smoother_degree: int
     smoother_ratio: float
     gamma: int              # 1 = V-cycle, 2 = W-cycle
@@ -96,7 +99,9 @@ def build_dist_amg(data, cols, num_shards: int, *, coarse_n: int = 1200,
 
     ``keep_base``: retain the single-device hierarchy (device-resident
     operator per level) on the result for parity testing; off by default
-    to avoid doubling accelerator memory at scale.
+    so no full-size device copy outlives the build.  (The build itself
+    still materializes the hierarchy on the default device transiently —
+    build_amg's level operators; freed on return unless keep_base.)
     """
     data = np.asarray(data)
     cols = np.asarray(cols)
@@ -136,9 +141,8 @@ def build_dist_amg(data, cols, num_shards: int, *, coarse_n: int = 1200,
         part = ell_partition(d, c, num_shards)
         assert part.data.shape[0] == d.shape[0], \
             "level rows must already divide num_shards (padding invariant)"
-        level_arrays.append((jnp.asarray(part.data), jnp.asarray(part.rel),
-                             jnp.asarray(part.inv_diag),
-                             jnp.asarray(lv.tv)))
+        level_arrays.append((part.data, part.rel, part.inv_diag,
+                             np.asarray(lv.tv)))
         static.append(_LevelStatic(halo=part.halo, s=lv.s, lmax=lv.lmax,
                                    omega=lv.omega,
                                    local_rows=part.local_rows))
@@ -151,14 +155,13 @@ def build_dist_amg(data, cols, num_shards: int, *, coarse_n: int = 1200,
         # whole system at/below coarse_n: the "cycle" is the dense solve,
         # but the CG still needs the fine operator's partition
         part = ell_partition(data_p, cols_p, num_shards)
-        fine_arrays = (jnp.asarray(part.data), jnp.asarray(part.rel),
-                       jnp.asarray(part.inv_diag))
+        fine_arrays = (part.data, part.rel, part.inv_diag)
         fine_halo = part.halo
 
     return DistAMGHierarchy(level_arrays=tuple(level_arrays),
                             static=tuple(static),
                             fine_arrays=fine_arrays, fine_halo=fine_halo,
-                            coarse_inv=base.coarse_inv,
+                            coarse_inv=np.asarray(base.coarse_inv),
                             smoother_degree=int(smoother_degree),
                             smoother_ratio=float(smoother_ratio),
                             gamma=base.gamma, n=n, np_rows=np_rows,
@@ -169,6 +172,26 @@ def build_dist_amg(data, cols, num_shards: int, *, coarse_n: int = 1200,
 def _level_specs(h: DistAMGHierarchy, axis_name: str):
     return tuple((P(axis_name, None), P(axis_name, None), P(axis_name),
                   P(axis_name)) for _ in h.level_arrays)
+
+
+def _device_arrays(h: DistAMGHierarchy, mesh: Mesh, axis_name: str):
+    """Ship the host hierarchy to the mesh with its target shardings —
+    each device materializes only its own row stripe (plus the small
+    replicated coarse inverse); no full copy lands on any single chip."""
+    row = NamedSharding(mesh, P(axis_name))
+    row2 = NamedSharding(mesh, P(axis_name, None))
+    rep = NamedSharding(mesh, P(None, None))
+    levels = tuple((jax.device_put(d, row2), jax.device_put(r, row2),
+                    jax.device_put(i, row), jax.device_put(t, row))
+                   for (d, r, i, t) in h.level_arrays)
+    if levels:
+        fine = levels[0][:3]
+    else:
+        fd, fr, fi = h.fine_arrays
+        fine = (jax.device_put(fd, row2), jax.device_put(fr, row2),
+                jax.device_put(fi, row))
+    cinv = jax.device_put(h.coarse_inv, rep)
+    return levels, fine, cinv
 
 
 def _mk_cycle(h: DistAMGHierarchy, axis_name: str):
@@ -239,6 +262,7 @@ def dist_amg_apply(h: DistAMGHierarchy, r, mesh: Mesh, *,
     inlines the cycle inside its sharded while_loop instead.
     """
     cycle = _mk_cycle(h, axis_name)
+    levels_dev, _, cinv_dev = _device_arrays(h, mesh, axis_name)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -247,7 +271,7 @@ def dist_amg_apply(h: DistAMGHierarchy, r, mesh: Mesh, *,
     def run(levels_l, coarse_inv, r_l):
         return cycle(0, levels_l, coarse_inv, r_l)
 
-    return run(h.level_arrays, h.coarse_inv, r)
+    return run(levels_dev, cinv_dev, r)
 
 
 def dist_amg_pcg(h: DistAMGHierarchy, b, mesh: Mesh, *,
@@ -262,6 +286,7 @@ def dist_amg_pcg(h: DistAMGHierarchy, b, mesh: Mesh, *,
     tol = float(tol)
     cycle = _mk_cycle(h, axis_name)
     fine_halo = h.fine_halo
+    levels_dev, fine_dev, cinv_dev = _device_arrays(h, mesh, axis_name)
 
     b = np.asarray(b)
     if b.shape[0] == h.n and h.np_rows != h.n:
@@ -287,8 +312,8 @@ def dist_amg_pcg(h: DistAMGHierarchy, b, mesh: Mesh, *,
 
         return sharded_pcg_loop(matvec, prec, b_l, axis_name, tol, maxiter)
 
-    x, k, relres, converged, bad = run(h.level_arrays, h.fine_arrays,
-                                       h.coarse_inv, b_dev)
+    x, k, relres, converged, bad = run(levels_dev, fine_dev,
+                                       cinv_dev, b_dev)
     res = CGResult(x=x, iterations=k, residual_norm=relres,
                    converged=converged, diverged=bad)
     return x[:h.n], res

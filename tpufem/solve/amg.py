@@ -429,6 +429,22 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
         Adev = fine_A if fine_A is not None else ELLMatrix(
             jnp.asarray(data.astype(dtype)),
             jnp.asarray(cols.astype(np.int32)))
+        if fine_A is None:
+            # a coarse level past the auto-dispatch bandwidth cap would
+            # silently ride the ~500x-slower gather every cycle: prime
+            # its banded plan explicitly (covers any bandwidth).  Honors
+            # the TPUFEM_BAND_DISPATCH=0 escape (CPU probing).
+            import os as _os
+            from tpufem.sparse.ell import _AUTO_BAND_MAX
+            bw_l = int(np.abs(cols.astype(np.int64)
+                              - np.arange(data.shape[0])[:, None]).max())
+            if (bw_l > _AUTO_BAND_MAX
+                    and _os.environ.get("TPUFEM_BAND_DISPATCH", "1")
+                    != "0"):
+                try:
+                    Adev.prime_band_plan()
+                except Exception:
+                    pass          # fall back to gather (still correct)
         fine_A = None
         if aggregation == "interval":
             # transfers applied matrix-free (repeat/reshape + banded SpMV)

@@ -142,7 +142,11 @@ def solve_poisson_ell(mesh: Mesh, f: Optional[Callable] = None, *,
     an ELLMatrix whose banded plan is primed explicitly (honoring
     ``block_rows``, covering any bandwidth), so every SpMV in both CG
     and the AMG cycle rides the banded kernel; ``interpret`` is then
-    implied by running on a non-TPU backend rather than the flag.
+    implied by running on a non-TPU backend rather than the flag.  On
+    non-TPU backends the banded kernel is interpreted (a correctness
+    path, ~30x slower than the gather there) — set
+    ``TPUFEM_BAND_DISPATCH=0`` to run the same solve on the gather
+    matvec throughout (see tpufem.sparse.ell).
     """
     if f is None:
         f = model_problem_2d()[0] if mesh.dim == 2 else model_problem_3d()[0]
@@ -193,9 +197,12 @@ def solve_poisson_ell(mesh: Mesh, f: Optional[Callable] = None, *,
             # honors block_rows (the automatic dispatch declines past
             # _AUTO_BAND_MAX and would silently fall back to the ~500x
             # slower gather); the AMG / Chebyshev machinery consumes the
-            # same matrix object
+            # same matrix object.  TPUFEM_BAND_DISPATCH=0 skips priming,
+            # so the whole solve (CG + cycle) rides the gather instead.
+            import os
             A_p = ELLMatrix(jnp.asarray(data_p), jnp.asarray(cols_p))
-            A_p.prime_band_plan(block_rows)
+            if os.environ.get("TPUFEM_BAND_DISPATCH", "1") != "0":
+                A_p.prime_band_plan(block_rows)
             mv = A_p.matvec
             M = _build_M(A_p)
         else:

@@ -11,11 +11,16 @@ slots point at their own row with value 0, so no masking is needed in matvec.
 ``matvec`` auto-dispatches: when the matrix is banded (bandwidth small
 enough for the sliding-window kernel — true for RCM-ordered meshes), a
 :func:`tpufem.sparse.ell_pallas.ell_band_plan` is built once, cached on the
-instance, and the ~170x-faster Pallas kernel is used; otherwise it falls
-back to the XLA gather.  The fast path must not be opt-in expert knowledge
-(VERDICT.md r2 item 8).
+instance, and the ~500x-faster Pallas kernel is used (0.11 ms vs 57.8 ms
+at 1M rows on a v5e); otherwise it falls back to the XLA gather.  The fast
+path must not be opt-in expert knowledge (VERDICT.md r2 item 8).  On
+non-TPU backends the kernel runs in (slow) interpret mode — right for
+correctness tests, wrong for CPU benchmarking; set
+``TPUFEM_BAND_DISPATCH=0`` to force the gather path.
 """
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -84,15 +89,18 @@ class ELLMatrix:
                 or isinstance(self.cols, jax.core.Tracer)):
             return "unresolved"   # retry on a later (concrete) call
         self._band = None
+        if os.environ.get("TPUFEM_BAND_DISPATCH", "1") == "0":
+            return None
         try:
             cols = np.asarray(self.cols)
             n = cols.shape[0]
             bw = int(np.abs(cols.astype(np.int64)
                             - np.arange(n)[:, None]).max())
             if bw <= _AUTO_BAND_MAX:
-                # block_rows=None: ell_band_plan's auto-pick (single
-                # source of the R policy — see its docstring)
-                self.prime_band_plan()
+                from tpufem.sparse.ell_pallas import auto_block_rows
+                # bw already scanned here — pass the derived block size so
+                # ell_band_plan doesn't rescan (same policy, one source)
+                self.prime_band_plan(auto_block_rows(bw, n))
         except Exception:
             self._band = None     # any failure -> permanent gather fallback
         return self._band

@@ -80,6 +80,17 @@ class ELLBandPlan(NamedTuple):
 _D_NONE = 64
 
 
+def auto_block_rows(bw: int, n: int) -> int:
+    """The block-size policy (single source; used by ell_band_plan's
+    block_rows=None and ELLMatrix auto-dispatch): as large as possible —
+    the kernel is per-grid-step latency-bound (R-sweep, BENCH_NOTES r3:
+    0.345 -> 0.113 ms at 1M rows going 1024 -> 8192) — capped at 8192
+    (the int16 rel-index limit at 3R) and keeping >= 8 grid steps, while
+    always covering the bandwidth."""
+    return max(256, -(-bw // 128) * 128,
+               min(8192, -(-n // (8 * 128)) * 128))
+
+
 def ell_band_plan(data, cols, *, block_rows: int = None,
                   per_block: bool = False, segment: bool = True,
                   max_segments: int = 16) -> ELLBandPlan:
@@ -100,8 +111,7 @@ def ell_band_plan(data, cols, *, block_rows: int = None,
         nn = c.shape[0]
         bw = int(np.abs(c.astype(np.int64)
                         - np.arange(nn)[:, None]).max()) if nn else 0
-        block_rows = max(256, -(-bw // 128) * 128,
-                         min(8192, -(-nn // (8 * 128)) * 128))
+        block_rows = auto_block_rows(bw, nn)
     R = int(block_rows)
     if R % 128:
         raise ValueError("block_rows must be a multiple of 128")
