@@ -219,3 +219,47 @@ def test_amg_pcg_mesh_independent_iterations():
         c = np.asarray(lv.A.cols).astype(np.int64)
         bw = int(np.abs(c - np.arange(c.shape[0])[:, None]).max())
         assert bw <= 4096   # every level qualifies for the banded kernel
+
+
+def test_interval_amg_on_p2_system(monkeypatch):
+    """AMG is algebraic: it must precondition higher-order (P2) systems
+    too — wider stencils (K=24), edge DOFs interleaved with vertex DOFs.
+    RCM + interval-W on the P2 Poisson operator converges in ~82
+    iterations at 6.5k DOFs (weaker than P1's ~24: P2's coupling reaches
+    across the fixed index window; greedy aggregation is the
+    better-converging choice for high-order operators when its gather
+    transfers are affordable).  (Gather matvec forced: iteration counts
+    are backend-independent.)"""
+    import tpufem.sparse.ell as ell_mod
+    monkeypatch.setattr(ell_mod, "_AUTO_BAND_MAX", -1)
+    import jax.numpy as jnp
+    from tpufem.fem.space import FunctionSpace
+    from tpufem.forms.language import SpatialCoordinate, dot, grad
+    from tpufem.forms.weakform import WeakForm
+    from tpufem.mesh.rectangle import rectangle_mesh
+    from tpufem.sparse.ell import ELLMatrix, reorder_ell
+
+    mesh = rectangle_mesh(-3, 3, -3, 3, 40, 40)
+    V = FunctionSpace(mesh, degree=2)
+    X = SpatialCoordinate(V)
+    f = 36 - 2 * (X[0] ** 2 + X[1] ** 2)
+    wf = WeakForm(V).build(lambda u, v: dot(grad(u), grad(v)),
+                           lambda v: f * v)
+    A, b = wf.assemble(format="ell")
+    A, b = apply_dirichlet_ell(A, b, jnp.asarray(V.dof_flags))
+
+    perm = reverse_cuthill_mckee(np.asarray(A.cols))
+    data_p, cols_p = reorder_ell(np.asarray(A.data), np.asarray(A.cols),
+                                 perm)
+    Ap = ELLMatrix(jnp.asarray(data_p), jnp.asarray(cols_p))
+    bp = jnp.asarray(np.asarray(b)[perm])
+
+    hier = build_amg(Ap, aggregation="interval", cycle="W", coarse_n=300)
+    res = cg(Ap.matvec, bp, tol=1e-9, maxiter=150, M=hier.apply)
+    assert bool(res.converged)
+    assert int(res.iterations) <= 120, int(res.iterations)
+
+    ref = cg(Ap.matvec, bp, tol=1e-12, maxiter=20000)
+    assert bool(ref.converged)
+    scale = float(np.abs(np.asarray(ref.x)).max())
+    assert np.abs(np.asarray(res.x) - np.asarray(ref.x)).max() < 1e-6 * scale

@@ -284,3 +284,19 @@ def test_segmented_kernel_matches_global_and_gather():
                                 jnp.asarray(x)))
     err = np.abs(np.asarray(y_seg) - ref).max() / np.abs(ref).max()
     assert err < 1e-5, err
+
+
+def test_band_dispatch_env_escape(monkeypatch):
+    """TPUFEM_BAND_DISPATCH=0 forces the gather path (CPU benchmarking
+    escape; on non-TPU backends the banded kernel runs interpreted)."""
+    monkeypatch.setenv("TPUFEM_BAND_DISPATCH", "0")
+    from tpufem.sparse.ell import ELLMatrix
+
+    rng = np.random.default_rng(5)
+    data, cols = _random_banded(rng, 1500, 6, 100)
+    A = ELLMatrix(jnp.asarray(data), jnp.asarray(cols))
+    x = jnp.asarray(rng.standard_normal(1500))
+    y = np.asarray(A.matvec(x))
+    assert A._band is None          # declined the plan, rode the gather
+    ref = np.asarray(ell_matvec(jnp.asarray(data), jnp.asarray(cols), x))
+    np.testing.assert_allclose(y, ref, rtol=1e-12, atol=1e-12)
