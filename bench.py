@@ -69,7 +69,31 @@ from tpufem.utils.timing import PhaseTimer, device_seconds_per_rep
 BASELINE_DOFS_PER_SEC = 1.2e8   # estimated A100 CUDA pipeline (see docstring)
 
 
+def _device_watchdog(timeout_s: float = 300.0):
+    """Fail fast if backend init hangs (wedged axon relay, 2026-08-17:
+    jax.devices() blocked in the client's connect-retry loop for 7+ h).
+    Legitimate init takes seconds; past ``timeout_s`` we print a clear
+    diagnostic and hard-exit instead of letting the caller's capture
+    time out with no explanation."""
+    import threading
+
+    done = threading.Event()
+
+    def trip():
+        if not done.wait(timeout_s):
+            print(f"bench.py: backend init did not complete within "
+                  f"{timeout_s:.0f}s — TPU relay unreachable (see "
+                  f"BENCH_NOTES.md 'tunnel outage'); aborting",
+                  file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=trip, daemon=True).start()
+    jax.devices()          # blocks here if the relay is wedged
+    done.set()
+
+
 def main():
+    _device_watchdog()
     # default 96: ~0.91M DOFs and dyadically refinable (96->48->24->12->6)
     # so the multigrid hierarchy bottoms out on a tiny dense-inverse level
     n = int(os.environ.get("TPUFEM_BENCH_N", "96"))
