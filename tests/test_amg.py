@@ -174,6 +174,11 @@ def test_interval_wcycle_amg_pcg_bounded_iteration_growth(monkeypatch):
     """
     import tpufem.sparse.ell as ell_mod
     monkeypatch.setattr(ell_mod, "_AUTO_BAND_MAX", -1)
+    # _AUTO_BAND_MAX=-1 alone flips build_amg's wide-band priming branch
+    # (bw_l > -1 is always true) into priming EVERY level through the
+    # interpreted Pallas kernel; TPUFEM_BAND_DISPATCH=0 is honored by both
+    # the auto-dispatch and the priming branch, keeping this on gather SpMV.
+    monkeypatch.setenv("TPUFEM_BAND_DISPATCH", "0")
     iters = {}
     for n in (40, 160):
         mesh, A, b, exact = _system(n)
@@ -232,6 +237,11 @@ def test_interval_amg_on_p2_system(monkeypatch):
     are backend-independent.)"""
     import tpufem.sparse.ell as ell_mod
     monkeypatch.setattr(ell_mod, "_AUTO_BAND_MAX", -1)
+    # _AUTO_BAND_MAX=-1 alone flips build_amg's wide-band priming branch
+    # (bw_l > -1 is always true) into priming EVERY level through the
+    # interpreted Pallas kernel; TPUFEM_BAND_DISPATCH=0 is honored by both
+    # the auto-dispatch and the priming branch, keeping this on gather SpMV.
+    monkeypatch.setenv("TPUFEM_BAND_DISPATCH", "0")
     import jax.numpy as jnp
     from tpufem.fem.space import FunctionSpace
     from tpufem.forms.language import SpatialCoordinate, dot, grad

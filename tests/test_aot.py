@@ -75,6 +75,27 @@ def test_disabled_by_env(tmp_path, monkeypatch):
     assert not os.listdir(tmp_path)
 
 
+def test_captured_constant_values_distinguish_entries(cache):
+    """Two closures differing ONLY in a captured array's values print
+    identical jaxprs (constants are baked into the lowered HLO, not the
+    jaxpr string) — the cache key must hash the constant VALUES too, or a
+    warm cache silently returns stale-constant executables (ADVICE r3)."""
+    x = jnp.ones((8,), jnp.float32)
+    c_a = np.full((8,), 2.0, np.float32)
+    c_b = np.full((8,), 5.0, np.float32)
+
+    def make(c):
+        arr = jnp.asarray(c)
+        return lambda v: v * arr
+
+    r1 = cache.get(make(c_a), (x,), tag="k")
+    out1 = np.asarray(r1(x))
+    r2 = cache.get(make(c_b), (x,), tag="k")
+    out2 = np.asarray(r2(x))
+    np.testing.assert_allclose(out1, 2.0)
+    np.testing.assert_allclose(out2, 5.0)     # NOT a stale 2.0 executable
+
+
 def test_donated_args_roundtrip(cache):
     def donating(b, a):
         return b * 2.0 + a

@@ -228,10 +228,15 @@ def solve_poisson_fast(domain, n_cells: int, f_planes: Callable, *,
     # b AND data are donated: nothing reads either after the solve, and the
     # solve's first op relayouts data into its 4D kernel layout — without
     # donation that copy would double the operator's HBM footprint (3.7 GB
-    # at the 57M-DOF ceiling)
+    # at the 57M-DOF ceiling).  EXCEPT on the precond="general" path, where
+    # mg_levels' finest level aliases the SAME device buffer as `data`
+    # (build_poisson_multigrid stores top=(data, bc_mask) via a no-op
+    # device_put): donating it there would let XLA reuse memory the
+    # non-donated lv pytree still reads.
+    donate = (0, 1) if (mg_levels is None or precond == "const") else (0,)
     t0 = time.perf_counter()
     solve = _program(solve, (b, data, mg_levels), "fast_solve",
-                     donate_argnums=(0, 1))
+                     donate_argnums=donate)
     res = solve(b, data, mg_levels)
     res.x.block_until_ready()
     phases["solve_wall"] = time.perf_counter() - t0

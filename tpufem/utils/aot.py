@@ -42,7 +42,14 @@ def _cache_dir() -> str:
     d = os.environ.get("TPUFEM_AOT_CACHE_DIR")
     if not d:
         d = os.path.join(os.path.expanduser("~"), ".cache", "tpufem", "aot")
-    os.makedirs(d, exist_ok=True)
+    # Cache entries are unpickled on hit (PyTreeDefs force pickle); keep the
+    # directory private so only the owning user can plant payloads.  Do not
+    # point TPUFEM_AOT_CACHE_DIR at a shared/world-writable location.
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    try:
+        os.chmod(d, 0o700)
+    except OSError:
+        pass
     return d
 
 
@@ -85,8 +92,14 @@ class CompiledCache:
         # source locations change whenever ANY caller source shifts lines —
         # observed as three distinct cache entries for one identical
         # program.  The jaxpr string is location-free and deterministic.
+        # The jaxpr string alone omits the VALUES of closure-captured
+        # constants (two closures differing only in a captured array's
+        # values print identical jaxprs while their lowered HLO differs),
+        # so hash every constant leaf's bytes into the key as well.
         try:
-            key_src = str(jitted.trace(*example_args).jaxpr)
+            traced = jitted.trace(*example_args)
+            key_src = str(traced.jaxpr)
+            key_src += "|consts=" + _hash_consts(traced.jaxpr.consts)
         except Exception:        # trace API unavailable: fall back, strip
             key_src = re.sub(r'loc\("[^"]*"[^)]*\)|#loc\d*( = [^\n]*)?',
                              "", lowered.as_text())
@@ -151,6 +164,21 @@ class CompiledCache:
             rec["save_failed"] = type(e).__name__
         self.stats[tag or fn.__name__] = rec
         return compiled
+
+
+def _hash_consts(consts) -> str:
+    """Digest the values of jaxpr-captured constants (shape+dtype+bytes)."""
+    import numpy as np
+    h = hashlib.sha256()
+    for c in consts:
+        try:
+            a = np.asarray(c)
+            h.update(str(a.shape).encode())
+            h.update(str(a.dtype).encode())
+            h.update(a.tobytes())
+        except Exception:       # non-array constant: fall back to repr
+            h.update(repr(c).encode())
+    return h.hexdigest()[:16]
 
 
 def _executable_devices(compiled) -> list:
