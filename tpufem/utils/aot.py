@@ -74,11 +74,11 @@ class CompiledCache:
         """
         jitted = jax.jit(fn, static_argnums=static_argnums,
                          donate_argnums=donate_argnums)
-        t0 = time.perf_counter()
-        lowered = jitted.lower(*example_args)
-        t_lower = time.perf_counter() - t0
 
         if not _enabled():
+            t0 = time.perf_counter()
+            lowered = jitted.lower(*example_args)
+            t_lower = time.perf_counter() - t0
             t0 = time.perf_counter()
             compiled = lowered.compile()
             self.stats[tag or fn.__name__] = {
@@ -96,13 +96,19 @@ class CompiledCache:
         # constants (two closures differing only in a captured array's
         # values print identical jaxprs while their lowered HLO differs),
         # so hash every constant leaf's bytes into the key as well.
+        # Lowering (StableHLO emission) is deferred to the miss path — a
+        # hit needs only the trace (halves the warm wall on big programs).
+        traced = lowered = None
         try:
             traced = jitted.trace(*example_args)
             key_src = str(traced.jaxpr)
             key_src += "|consts=" + _hash_consts(traced.jaxpr.consts)
         except Exception:        # trace API unavailable: fall back, strip
+            lowered = jitted.lower(*example_args)
             key_src = re.sub(r'loc\("[^"]*"[^)]*\)|#loc\d*( = [^\n]*)?',
                              "", lowered.as_text())
+        t_lower = time.perf_counter() - t0
+        t0 = time.perf_counter()
         key_src += "|" + "|".join(
             str(jax.api_util.shaped_abstractify(a)) for a in
             jax.tree_util.tree_leaves(example_args))
@@ -143,6 +149,8 @@ class CompiledCache:
                     pass
 
         t0 = time.perf_counter()
+        if lowered is None:
+            lowered = traced.lower()
         compiled = lowered.compile()
         t_compile = time.perf_counter() - t0
         rec = {"event": "miss" if load_failure is None
