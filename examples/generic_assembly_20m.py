@@ -42,6 +42,11 @@ def main(argv=None):
     ap.add_argument("--ny", type=int, default=1000)
     ap.add_argument("--chunks", type=int, default=8,
                     help="element-batch streaming chunks")
+    ap.add_argument("--method", choices=["scatter", "sort", "both"],
+                    default="both",
+                    help="scatter = flat .at[].add; sort = plan-time "
+                    "chunk-local slot sort + device gather + sorted "
+                    "segment_sum (amortizes the sort into the host plan)")
     args = ap.parse_args(argv)
 
     t0 = time.perf_counter()
@@ -79,21 +84,58 @@ def main(argv=None):
         Ke = p1_stiffness(ec, element)                  # [C, 3, 3]
         return flat.at[sl.reshape(-1)].add(Ke.reshape(-1))
 
-    def assemble_once():
+    # slot-sorted variant: the chunk's 9C entries are sorted by target slot
+    # ON THE HOST at plan time (amortized across assemblies); the device
+    # then does one take-along-axis gather + a sorted segment_sum — the
+    # canonical deterministic TPU reduction, no scatter op at all.
+    @functools.partial(jax.jit, donate_argnums=0)
+    def add_chunk_sorted(flat, ec, perm, seg):
+        Ke = p1_stiffness(ec, element).reshape(-1)
+        contrib = jax.ops.segment_sum(Ke[perm], seg,
+                                      num_segments=flat_size,
+                                      indices_are_sorted=True)
+        return flat + contrib
+
+    t0 = time.perf_counter()
+    plans = []
+    if args.method in ("sort", "both"):
+        for c in range(nc):
+            sl = slots[c * csz:(c + 1) * csz].reshape(-1)
+            p = np.argsort(sl, kind="stable")
+            plans.append((p.astype(np.int32), sl[p]))
+    t_plan = time.perf_counter() - t0
+
+    def assemble_once(method):
         flat = jnp.zeros(flat_size, jnp.float32)
         for c in range(nc):
             ec = jnp.asarray(ecoords[c * csz:(c + 1) * csz], jnp.float32)
-            sl = jnp.asarray(slots[c * csz:(c + 1) * csz])
-            flat = add_chunk(flat, ec, sl)
+            if method == "sort":
+                pm, sg = plans[c]
+                flat = add_chunk_sorted(flat, ec, jnp.asarray(pm),
+                                        jnp.asarray(sg))
+            else:
+                sl = jnp.asarray(slots[c * csz:(c + 1) * csz])
+                flat = add_chunk(flat, ec, sl)
         flat.block_until_ready()
         return flat
 
+    prim = "sort" if args.method == "sort" else "scatter"
     t0 = time.perf_counter()
-    flat = assemble_once()                              # compile + H2D
+    flat = assemble_once(prim)                          # compile + H2D
     t_wall = time.perf_counter() - t0
     t0 = time.perf_counter()
-    flat = assemble_once()                              # steady state
+    flat = assemble_once(prim)                          # steady state
     t_asm = time.perf_counter() - t0
+
+    t_sort = None
+    if args.method == "both":
+        flat_s = assemble_once("sort")                  # compile + H2D
+        # golden: both reductions assemble the same operator
+        dmax = float(jnp.abs(flat_s - flat).max())
+        assert dmax <= 1e-4 * float(jnp.abs(flat).max()), dmax
+        t0 = time.perf_counter()
+        assemble_once("sort")
+        t_sort = time.perf_counter() - t0
 
     # Reference-parity phase: the CUDA kernel at this scale only COMPUTES
     # the 9 values per element and stores raw triplets — the duplicate
@@ -145,6 +187,15 @@ def main(argv=None):
         "elements_per_sec": round(ne / t_asm, 0),
         "effective_gbs": round(bytes_moved / t_asm / 1e9, 1),
         "hbm_sol_fraction": round(bytes_moved / t_asm / 1e9 / 819.0, 3),
+        # slot-sorted segment-sum A/B (plan-time host sort, device gather +
+        # sorted segment_sum).  Roofline bound for this shape on v5e: the
+        # device must move >= 9*NE*(4 vals + 4 perm + 4 gathered) bytes +
+        # 2*4*rows*K segment writes/reads ~ 2.8 GB -> >= 3.4 ms at 819
+        # GB/s, i.e. <= ~5.9e9 elem/s — anything past that needs fusing
+        # the element kernel into the reduction (the structured path).
+        "sort_assemble_s": round(t_sort, 3) if t_sort is not None else None,
+        "sort_elements_per_sec": (round(ne / t_sort, 0)
+                                  if t_sort is not None else None),
         # reference-parity phase: element kernels + raw values out, NO
         # duplicate reduction — exactly what the CUDA kernel at this scale
         # does (/root/reference/fea_test_sm_sym_sparse.cu:244-254)
@@ -156,6 +207,7 @@ def main(argv=None):
             emit_bytes / t_emit / 1e9 / 819.0, 3),
         "max_rel_row_sum": rel,
         "walls_s": {"mesh": round(t_mesh, 1), "pattern": round(t_pat, 1),
+                    "sort_plan": round(t_plan, 1),
                     "first_pass": round(t_wall, 1)},
         "peak_device_bytes_est": int(flat_size * 4 + csz * (6 + 9 + 9) * 4),
     }

@@ -16,7 +16,31 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+import os.path  # noqa: E402
+
 import pytest  # noqa: E402
+
+# Modules whose every (non-slow) test belongs to the sub-5-minute gating
+# subset (`pytest -m fast`) — calibrated from per-file wall times on the
+# 1-core build box (scripts/suite_times).  The full suite remains the
+# per-round gate; `fast` exists so the driver entry + distributed paths
+# can be checked inside a capture window (VERDICT r3 item 8).
+_FAST_MODULES = {
+    "test_quadrature.py", "test_mesh.py", "test_local.py",
+    "test_symbolic.py", "test_aot.py", "test_native.py", "test_aux.py",
+    "test_graft.py", "test_weakform.py", "test_sparse.py",
+    "test_assembly.py", "test_bc_solve.py", "test_dist.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = os.path.basename(str(item.fspath))
+        if name.startswith("test_dist"):
+            item.add_marker(pytest.mark.dist)
+        if name in _FAST_MODULES and not any(
+                m.name == "slow" for m in item.iter_markers()):
+            item.add_marker(pytest.mark.fast)
 
 
 @pytest.fixture(scope="session")
