@@ -44,4 +44,7 @@ def __getattr__(name):
     if name == "build_dist_amg":
         from tpufem.dist.amg import build_dist_amg
         return build_dist_amg
+    if name == "build_block_amg":
+        from tpufem.solve.amg_block import build_block_amg
+        return build_block_amg
     raise AttributeError(f"module 'tpufem' has no attribute {name!r}")

@@ -59,8 +59,9 @@ def solve_elasticity(mesh: Mesh, *, lam: float = 1.0, mu: float = 1.0,
                      bc_values=None, dtype=jnp.float64,
                      tol: float = 1e-10, maxiter: int = 20_000,
                      matvec: str = "gather", block_rows: int = 1024,
+                     precond: Optional[str] = None,
                      interpret: bool = False) -> ElasticitySolution:
-    """Assemble + solve the elasticity system with block-Jacobi PCG.
+    """Assemble + solve the elasticity system with preconditioned CG.
 
     ``body_force``: callable x[..., dim] -> f[..., dim] (or None for f = 0).
     ``bc_values``:  Dirichlet displacement per DOF (or None for clamped 0).
@@ -68,6 +69,9 @@ def solve_elasticity(mesh: Mesh, *, lam: float = 1.0, mu: float = 1.0,
     banded block Pallas SpMV (sparse.ell_pallas.bcsr_matvec_pallas — 28x
     the XLA gather at 1M DOFs on a v5e); solution returned in original
     DOF order.
+    ``precond``: None/"jacobi" = block-Jacobi (iterations grow with the
+    mesh); "amg" = rigid-body-mode block smoothed aggregation
+    (solve.amg_block — mesh-robust iteration counts).
     """
     V = VectorFunctionSpace(mesh, degree=1)
     wf = elasticity_forms(V, lam, mu, body_force)
@@ -128,6 +132,14 @@ def solve_elasticity(mesh: Mesh, *, lam: float = 1.0, mu: float = 1.0,
         return ElasticitySolution(u=jnp.asarray(u_nm), cg=res, space=V,
                                   A=A2)
 
-    M = block_jacobi(A2.diagonal_blocks())
+    if precond == "amg":
+        import numpy as np
+
+        from tpufem.solve.amg_block import build_block_amg
+        M = build_block_amg(A2, coords=np.asarray(mesh.coords)).apply
+    elif precond in (None, "jacobi"):
+        M = block_jacobi(A2.diagonal_blocks())
+    else:
+        raise ValueError(f"unknown precond {precond!r}")
     res = cg(A2.matvec, b2, tol=tol, maxiter=maxiter, M=M)
     return ElasticitySolution(u=res.x, cg=res, space=V, A=A2)
