@@ -46,10 +46,21 @@ from tpufem.solve.precond import (chebyshev, estimate_lambda_max, jacobi,
 
 
 def rcm_renumber(mesh: Mesh, pad_to: int = 8):
-    """Renumber mesh nodes with RCM so the assembled matrix is banded."""
-    pat = ell_pattern(mesh.conn, mesh.num_nodes, pad_to=pad_to,
-                      with_sort_plan=False)
-    perm = reverse_cuthill_mckee(pat.cols)
+    """Renumber mesh nodes with RCM so the assembled matrix is banded.
+
+    RCM needs only the adjacency cols, not the full scatter plan — the
+    native neighbor-list builder supplies them in one C++ pass instead
+    of the throwaway full ell_pattern this used to build."""
+    try:
+        from tpufem import native
+        if native.available():
+            _, cols = native.node_adjacency(mesh.conn, mesh.num_nodes)
+        else:
+            raise RuntimeError
+    except Exception:
+        cols = ell_pattern(mesh.conn, mesh.num_nodes, pad_to=pad_to,
+                           with_sort_plan=False).cols
+    perm = reverse_cuthill_mckee(cols)
     inv = np.empty_like(perm)
     inv[perm] = np.arange(perm.size, dtype=perm.dtype)
     return Mesh(coords=np.ascontiguousarray(mesh.coords[perm]),

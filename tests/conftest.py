@@ -28,8 +28,9 @@ import pytest  # noqa: E402
 _FAST_MODULES = {
     "test_quadrature.py", "test_mesh.py", "test_local.py",
     "test_symbolic.py", "test_aot.py", "test_native.py", "test_aux.py",
-    "test_graft.py", "test_weakform.py", "test_sparse.py",
+    "test_graft.py", "test_weakform.py",
     "test_assembly.py", "test_bc_solve.py", "test_dist.py",
+    "test_dist_2d.py",
 }
 
 

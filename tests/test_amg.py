@@ -67,7 +67,7 @@ def test_greedy_aggregate_native_matches_numpy():
 
 def test_galerkin_matches_dense_triple_product():
     _, A, _, _ = _system(16)
-    hier = build_amg(A, coarse_n=20, max_levels=1)
+    hier = build_amg(A, coarse_n=20, max_levels=1, transfer="gather")
     lv = hier.levels[0]
     n = A.shape[0]
     Ad = np.asarray(A.to_dense(), np.float64)
@@ -86,6 +86,23 @@ def test_galerkin_matches_dense_triple_product():
                   np.asarray(lv.r_cols).ravel()),
               np.asarray(lv.r_data, np.float64).ravel())
     assert np.abs(R - P.T).max() < 1e-12
+
+    # the banded-embedded representation stores the SAME P: un-embed Qp
+    # (col emb[c] -> c) and compare entrywise
+    hb = build_amg(A, coarse_n=20, max_levels=1, transfer="banded")
+    lvb = hb.levels[0]
+    emb = np.asarray(lvb.emb, np.int64)
+    back = np.full(n, -1, np.int64)
+    back[emb] = np.arange(emb.size)
+    Pq = np.zeros((n, nc))
+    qd = np.asarray(lvb.Qp.data, np.float64)
+    qc = np.asarray(lvb.Qp.cols, np.int64)
+    for k in range(qd.shape[1]):
+        cc = back[qc[:, k]]
+        ok = cc >= 0
+        np.add.at(Pq, (np.flatnonzero(ok), cc[ok]),
+                  qd[np.flatnonzero(ok), k])
+    assert np.abs(Pq - P).max() < 1e-12 * max(1.0, np.abs(P).max())
 
 
 def test_vcycle_is_spd():

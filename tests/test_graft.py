@@ -5,6 +5,8 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
+
 import jax
 
 
@@ -75,8 +77,13 @@ def test_cpu_mesh_devices_never_trusts_unprobed_ambient(cpu_devices,
     assert all(d.platform == "cpu" for d in devs)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_bare_subprocess():
     """Run the driver's exact check in a fresh process with scrubbed env.
+
+    slow: duplicates the in-process dryrun's ~2.5 min of coverage in a
+    second interpreter (what it uniquely checks is the env bootstrap);
+    the full per-round suite still runs it.
 
     Round 1 failed because conftest pre-set XLA_FLAGS, masking that
     __graft_entry__ did not self-provision the virtual CPU mesh

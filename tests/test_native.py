@@ -82,3 +82,58 @@ def test_native_rcm_exact_parity():
     np.testing.assert_array_equal(
         native.reverse_cuthill_mckee(cols),
         reverse_cuthill_mckee(cols, use_native=False))
+
+
+def test_native_galerkin_matches_numpy_spec():
+    """tpufem_galerkin_ell == the chunked numpy triple product (the AMG
+    setup hot loop; ELL layouts may order pad slots differently, so
+    compare as dense operators)."""
+    from tpufem.mesh.rectangle import perturbed_rectangle_mesh
+    from tpufem.solve.amg import (_coo_to_ell, _spmm_ell_coo, _spmm_t_coo)
+
+    rng = np.random.default_rng(0)
+    mesh = perturbed_rectangle_mesh(-1, 1, -1, 1, 14, 14, jitter=0.25,
+                                    seed=1)
+    pat = np_ell_pattern(mesh.conn, mesh.num_nodes, pad_to=8)
+    n = mesh.num_nodes
+    data = np.where(pat.cols != np.arange(n)[:, None],
+                    rng.standard_normal(pat.cols.shape), 2.0)
+    data[pat.row_lengths[:, None] <= np.arange(pat.cols.shape[1])] = 0.0
+    # a random rectangular P over 40 coarse columns
+    nc = 40
+    Kp = 3
+    p_cols = rng.integers(0, nc, size=(n, Kp)).astype(np.int32)
+    p_data = rng.standard_normal((n, Kp))
+    p_data[:, 2] = 0.0                       # exercise zero-skipping
+
+    cd_nat, cc_nat = native.galerkin_ell(data, pat.cols, p_data, p_cols,
+                                         nc)
+    cr, cc, cv = _spmm_ell_coo(data, pat.cols.astype(np.int64), p_data,
+                               p_cols, nc, 1 << 21)
+    gr, gc, gv = _spmm_t_coo(p_data, p_cols, cr, cc, cv, nc, 1 << 21)
+    cd_np, cc_np = _coo_to_ell(gr, gc, gv, nc)
+
+    def dense(d, c):
+        out = np.zeros((nc, nc))
+        np.add.at(out, (np.repeat(np.arange(nc), d.shape[1]),
+                        c.astype(np.int64).ravel()), d.ravel())
+        return out
+
+    Dn, Dp = dense(cd_nat, cc_nat), dense(cd_np, cc_np)
+    assert np.abs(Dn - Dp).max() < 1e-12 * max(1.0, np.abs(Dp).max())
+
+
+def test_native_galerkin_width_retry():
+    """A dense-ish P forces coarse rows wider than the first-guess width;
+    the wrapper must retry with the returned requirement and succeed."""
+    rng = np.random.default_rng(1)
+    n, K, nc = 60, 4, 6
+    cols = rng.integers(0, n, size=(n, K)).astype(np.int32)
+    cols[:, 0] = np.arange(n)
+    data = rng.standard_normal((n, K))
+    p_cols = rng.integers(0, nc, size=(n, 2)).astype(np.int32)
+    p_data = rng.standard_normal((n, 2))
+    cd, cc = native.galerkin_ell(data, cols, p_data, p_cols, nc,
+                                 width_guess=2)
+    assert cd.shape == cc.shape and cd.shape[0] == nc
+    assert cd.shape[1] >= 2

@@ -211,13 +211,15 @@ def ell_pattern(conn: np.ndarray, num_nodes: int, pad_to: int | None = None,
     ``with_sort_plan=False`` skips the argsort-based plan consumed only by
     ``assemble_ell(method="sort")``.
 
-    One stable (radix for ints) argsort of the flat (row, col) keys drives
-    everything: the sorted run starts give the unique pattern, the inverse
-    permutation gives every entry's slot WITHOUT a per-entry binary search,
-    and — because slot order equals key order — the argsort IS the
-    ``method="sort"`` plan.  This replaced a quicksort ``np.unique`` +
-    ``searchsorted`` pair that dominated host setup at the 1M-row and
-    20M-element scales (BENCH_NOTES r3: 26 s / 86 s walls).
+    One argsort of the flat (row, col) keys drives everything: the sorted
+    run starts give the unique pattern, the inverse permutation gives
+    every entry's slot WITHOUT a per-entry binary search, and — because
+    slot order equals key order — the argsort IS the ``method="sort"``
+    plan.  This replaced a quicksort ``np.unique`` + ``searchsorted``
+    pair that dominated host setup at the 1M-row and 20M-element scales
+    (BENCH_NOTES r3: 26 s / 86 s walls).  The sort is introsort (numpy
+    default — measured 1.5x timsort on shuffled meshes): not stable, but
+    deterministic, which is all the summation-order guarantee needs.
     """
     npe = conn.shape[1]
     c64 = conn.astype(np.int64)
@@ -225,7 +227,7 @@ def ell_pattern(conn: np.ndarray, num_nodes: int, pad_to: int | None = None,
             * num_nodes
             + c64[:, None, :]).reshape(-1)               # [NE*npe*npe]
 
-    order = np.argsort(keys, kind="stable")              # radix on int64
+    order = np.argsort(keys)
     skeys = keys[order]
     new_run = np.empty(skeys.size, bool)
     new_run[0] = True

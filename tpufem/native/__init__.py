@@ -70,6 +70,11 @@ def _load() -> Optional[ctypes.CDLL]:
         _i32p, ctypes.c_int64, ctypes.c_int32,
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
     lib.tpufem_greedy_aggregate.restype = ctypes.c_int64
+    lib.tpufem_galerkin_ell.argtypes = [
+        _f64p, _i32p, ctypes.c_int64, ctypes.c_int32,
+        _f64p, _i32p, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p]
+    lib.tpufem_galerkin_ell.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -159,6 +164,35 @@ def greedy_aggregate(cols: np.ndarray):
     agg = np.empty(n, np.int64)
     na = lib.tpufem_greedy_aggregate(cols, n, k, agg)
     return agg, int(na)
+
+
+def galerkin_ell(a_data: np.ndarray, a_cols: np.ndarray,
+                 p_data: np.ndarray, p_cols: np.ndarray, nc: int,
+                 width_guess: int = 0):
+    """Native A_c = P^T A P over zero-padded ELL operands (the AMG setup
+    hot loop; parity with the chunked numpy product in tpufem.solve.amg).
+    Returns (c_data [nc, W] float64, c_cols [nc, W] int32)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (run build_native())")
+    a_data = np.ascontiguousarray(a_data, np.float64)
+    a_cols = np.ascontiguousarray(a_cols, np.int32)
+    p_data = np.ascontiguousarray(p_data, np.float64)
+    p_cols = np.ascontiguousarray(p_cols, np.int32)
+    n, K = a_data.shape
+    Kp = p_data.shape[1]
+    W = int(width_guess) or max(4 * K, 24)
+    for _ in range(3):
+        c_data = np.empty((nc, W), np.float64)
+        c_cols = np.empty((nc, W), np.int32)
+        need = lib.tpufem_galerkin_ell(
+            a_data, a_cols, n, K, p_data, p_cols, Kp, nc, W,
+            c_data.ctypes.data_as(ctypes.c_void_p),
+            c_cols.ctypes.data_as(ctypes.c_void_p))
+        if need <= W:
+            return c_data, c_cols
+        W = int(need)
+    raise RuntimeError("galerkin_ell width did not converge")
 
 
 def reverse_cuthill_mckee(cols: np.ndarray) -> np.ndarray:

@@ -309,4 +309,129 @@ int64_t tpufem_greedy_aggregate(const int32_t* cols, int64_t n, int32_t K,
   return na;
 }
 
+// Galerkin triple product A_c = P^T A P over zero-padded ELL operands —
+// the AMG setup hot loop (tpufem/solve/amg.py builds P; the chunked
+// vectorized-numpy product there is the executable specification, but its
+// big intermediate arrays are memory-traffic-bound on one core: 80 s at
+// 1M rows.  This single-pass version dedups per row in a small scratch
+// buffer instead: O(nnz) with cache-resident working sets).
+//
+// a: [n, K] data+cols (pad col = own row, val 0); p: [n, Kp] data+cols
+// with coarse column ids < nc.  Outputs c_data/c_cols [nc, Wc] in the
+// same padding convention.  Returns the REQUIRED width; rows are only
+// written when Wc >= required — call once with a guess, retry bigger on
+// shortfall (same protocol as tpufem_ell_pattern).
+int64_t tpufem_galerkin_ell(const double* a_data, const int32_t* a_cols,
+                            int64_t n, int32_t K,
+                            const double* p_data, const int32_t* p_cols,
+                            int32_t Kp, int64_t nc,
+                            int32_t Wc, double* c_data, int32_t* c_cols) {
+  using Entry = std::pair<int64_t, double>;
+  // ---- C = A @ P, deduped per fine row, stored CSR-style ----
+  std::vector<int64_t> c_ptr(n + 1, 0);
+  std::vector<int64_t> ccol;
+  std::vector<double> cval;
+  ccol.reserve(static_cast<size_t>(n) * (K + 4));
+  cval.reserve(static_cast<size_t>(n) * (K + 4));
+  std::vector<Entry> scratch;
+  scratch.reserve(static_cast<size_t>(K) * Kp);
+  for (int64_t i = 0; i < n; ++i) {
+    scratch.clear();
+    for (int32_t k = 0; k < K; ++k) {
+      const double a = a_data[i * K + k];
+      if (a == 0.0) continue;
+      const int64_t j = a_cols[i * K + k];
+      for (int32_t kp = 0; kp < Kp; ++kp) {
+        const double v = a * p_data[j * Kp + kp];
+        if (v != 0.0) scratch.emplace_back(p_cols[j * Kp + kp], v);
+      }
+    }
+    std::sort(scratch.begin(), scratch.end(),
+              [](const Entry& x, const Entry& y) {
+                return x.first < y.first;
+              });
+    for (size_t s = 0; s < scratch.size();) {
+      double acc = scratch[s].second;
+      size_t e = s + 1;
+      while (e < scratch.size() && scratch[e].first == scratch[s].first) {
+        acc += scratch[e].second;
+        ++e;
+      }
+      ccol.push_back(scratch[s].first);
+      cval.push_back(acc);
+      s = e;
+    }
+    c_ptr[i + 1] = static_cast<int64_t>(ccol.size());
+  }
+
+  // ---- transpose P (bucket by coarse column; fine order preserved) ----
+  std::vector<int64_t> t_ptr(nc + 1, 0);
+  for (int64_t i = 0; i < n; ++i)
+    for (int32_t kp = 0; kp < Kp; ++kp)
+      if (p_data[i * Kp + kp] != 0.0) ++t_ptr[p_cols[i * Kp + kp] + 1];
+  for (int64_t c = 0; c < nc; ++c) t_ptr[c + 1] += t_ptr[c];
+  std::vector<int64_t> t_row(t_ptr[nc]);
+  std::vector<double> t_val(t_ptr[nc]);
+  {
+    std::vector<int64_t> cur(t_ptr.begin(), t_ptr.end() - 1);
+    for (int64_t i = 0; i < n; ++i)
+      for (int32_t kp = 0; kp < Kp; ++kp) {
+        const double v = p_data[i * Kp + kp];
+        if (v == 0.0) continue;
+        const int64_t c = p_cols[i * Kp + kp];
+        t_row[cur[c]] = i;
+        t_val[cur[c]] = v;
+        ++cur[c];
+      }
+  }
+
+  // ---- A_c rows: P^T C, deduped per coarse row ----
+  int64_t needed = 1;
+  for (int64_t c = 0; c < nc; ++c) {
+    scratch.clear();
+    for (int64_t t = t_ptr[c]; t < t_ptr[c + 1]; ++t) {
+      const int64_t i = t_row[t];
+      const double pv = t_val[t];
+      for (int64_t s = c_ptr[i]; s < c_ptr[i + 1]; ++s)
+        scratch.emplace_back(ccol[s], pv * cval[s]);
+    }
+    std::sort(scratch.begin(), scratch.end(),
+              [](const Entry& x, const Entry& y) {
+                return x.first < y.first;
+              });
+    int64_t w = 0;
+    const bool write = (Wc > 0 && c_data != nullptr);
+    for (size_t s = 0; s < scratch.size();) {
+      double acc = scratch[s].second;
+      size_t e = s + 1;
+      while (e < scratch.size() && scratch[e].first == scratch[s].first) {
+        acc += scratch[e].second;
+        ++e;
+      }
+      if (acc != 0.0 || scratch[s].first == c) {
+        if (write && w < Wc) {
+          c_data[c * Wc + w] = acc;
+          c_cols[c * Wc + w] = static_cast<int32_t>(scratch[s].first);
+        }
+        ++w;
+      }
+      s = e;
+    }
+    if (w == 0) {                       // keep every row alive (diagonal)
+      if (write) {
+        c_data[c * Wc] = 0.0;
+        c_cols[c * Wc] = static_cast<int32_t>(c);
+      }
+      w = 1;
+    }
+    if (write)
+      for (int64_t k = w; k < Wc; ++k) {
+        c_data[c * Wc + k] = 0.0;
+        c_cols[c * Wc + k] = static_cast<int32_t>(c);
+      }
+    if (w > needed) needed = w;
+  }
+  return needed;
+}
+
 }  // extern "C"

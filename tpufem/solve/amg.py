@@ -492,10 +492,22 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
         pr, pc, pv = _coo_dedup(pr, pc, pv, nc)
         p_data, p_cols = _coo_to_ell(pr, pc, pv, n, pad_cols=agg)
 
-        # Galerkin A_c = P^T (A P), chunked
-        cr, cc, cv = _spmm_ell_coo(data, cols, p_data, p_cols, nc, chunk)
-        gr, gc, gv = _spmm_t_coo(p_data, p_cols, cr, cc, cv, nc, chunk)
-        c_data, c_cols = _coo_to_ell(gr, gc, gv, nc)
+        # Galerkin A_c = P^T (A P): native single-pass product when the
+        # host library is available (the chunked numpy product below is
+        # the executable specification — 80 s vs seconds at 1M rows)
+        c_data = None
+        try:
+            from tpufem import native
+            if native.available():
+                c_data, c_cols = native.galerkin_ell(
+                    data, cols, p_data, p_cols, nc)
+        except Exception:
+            c_data = None
+        if c_data is None:
+            cr, cc, cv = _spmm_ell_coo(data, cols, p_data, p_cols, nc,
+                                       chunk)
+            gr, gc, gv = _spmm_t_coo(p_data, p_cols, cr, cc, cv, nc, chunk)
+            c_data, c_cols = _coo_to_ell(gr, gc, gv, nc)
         nnz_total += float(np.count_nonzero(c_data))
 
         Adev = fine_A if fine_A is not None else ELLMatrix(
@@ -531,8 +543,14 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
                            jnp.asarray(qp_cols))
             Qr = ELLMatrix(jnp.asarray(qr_data.astype(dtype)),
                            jnp.asarray(qr_cols))
-            _prime_wide(Qp, qp_cols)
-            _prime_wide(Qr, qr_cols)
+            if jax.default_backend() == "tpu":
+                _prime_wide(Qp, qp_cols)
+                _prime_wide(Qr, qr_cols)
+            else:
+                # interpreted Pallas on CPU costs ~30x the gather: pin the
+                # transfer matvecs to the gather there (identical numerics;
+                # the banded kernel itself is covered by the sparse tests)
+                Qp._band = Qr._band = None
             levels.append(AMGLevel(
                 A=Adev,
                 inv_diag=jnp.asarray(inv_d.astype(dtype)),
