@@ -309,6 +309,87 @@ int64_t tpufem_greedy_aggregate(const int32_t* cols, int64_t n, int32_t K,
   return na;
 }
 
+// ELL pattern + scatter slots via row counting sort + per-row dedup.
+// The numpy path (tpufem.mesh.adjacency.ell_pattern) argsorts all
+// ne*npe*npe flat keys globally — ~160 s at the reference's 20M-element
+// scale (fea_test_sm_sym_sparse.cu:14-19).  Bucketing entries by row
+// first (one counting-sort pass) turns the sort into ne-row-local sorts
+// of <= valence*npe entries each: O(nnz) passes, cache-resident sorts.
+//
+// conn [ne, npe] -> cols [nn, K] (pad col = own row), lengths [nn],
+// diag_pos [nn], slots [ne*npe*npe] (flat slot per local-matrix entry).
+// Returns the required width; rows written only when K >= required
+// (same retry protocol as tpufem_galerkin_ell).
+int64_t tpufem_ell_pattern2(const int32_t* conn, int64_t ne, int32_t npe,
+                            int64_t nn, int32_t K,
+                            int32_t* cols, int32_t* lengths,
+                            int32_t* diag_pos, int32_t* slots) {
+  const int64_t total = ne * npe * npe;
+  if (total > INT32_MAX) return -1;     // entry ids are packed as int32
+  // bucket (col, entry-id) by row — one counting-sort pass
+  std::vector<int64_t> row_start(nn + 1, 0);
+  for (int64_t e = 0; e < ne; ++e)
+    for (int32_t a = 0; a < npe; ++a)
+      row_start[conn[e * npe + a] + 1] += npe;
+  for (int64_t i = 0; i < nn; ++i) row_start[i + 1] += row_start[i];
+  // pack (col, entry-id) into one int64 so the per-row insertion sort
+  // moves a single word: key = col * 2^32 + idx (idx < 2^31 checked)
+  std::vector<int64_t> bucket(total);
+  {
+    std::vector<int64_t> cur(row_start.begin(), row_start.end() - 1);
+    for (int64_t e = 0; e < ne; ++e)
+      for (int32_t a = 0; a < npe; ++a) {
+        const int64_t row = conn[e * npe + a];
+        int64_t c = cur[row];
+        const int64_t base = (e * npe + a) * npe;
+        for (int32_t b = 0; b < npe; ++b)
+          bucket[c++] = (static_cast<int64_t>(conn[e * npe + b]) << 32)
+                        | static_cast<int64_t>(base + b);
+        cur[row] = c;
+      }
+  }
+  // per-row: insertion-sort the packed pairs (rows are tiny — valence *
+  // npe entries), dedup into the ELL row, point every entry at its slot
+  int64_t needed = 1;
+  for (int64_t i = 0; i < nn; ++i) {
+    int64_t* beg = bucket.data() + row_start[i];
+    const int64_t m = row_start[i + 1] - row_start[i];
+    for (int64_t s = 1; s < m; ++s) {     // insertion sort
+      const int64_t v = beg[s];
+      int64_t t = s - 1;
+      while (t >= 0 && beg[t] > v) {
+        beg[t + 1] = beg[t];
+        --t;
+      }
+      beg[t + 1] = v;
+    }
+    const bool write = (K > 0);
+    int32_t w = 0;
+    for (int64_t s = 0; s < m;) {
+      const int32_t col = static_cast<int32_t>(beg[s] >> 32);
+      int64_t e = s;
+      while (e < m && static_cast<int32_t>(beg[e] >> 32) == col) ++e;
+      if (write && w < K) {
+        cols[i * K + w] = col;
+        if (col == static_cast<int32_t>(i)) diag_pos[i] = w;
+        const int32_t slot = static_cast<int32_t>(i * K + w);
+        for (int64_t t = s; t < e; ++t)
+          slots[beg[t] & 0x7fffffff] = slot;
+      }
+      ++w;
+      s = e;
+    }
+    if (write) {
+      lengths[i] = w;
+      for (int32_t k = w; k < K; ++k)
+        cols[i * K + k] = static_cast<int32_t>(i);
+      if (w == 0) diag_pos[i] = 0;
+    }
+    if (w > needed) needed = w;
+  }
+  return needed;
+}
+
 // Galerkin triple product A_c = P^T A P over zero-padded ELL operands —
 // the AMG setup hot loop (tpufem/solve/amg.py builds P; the chunked
 // vectorized-numpy product there is the executable specification, but its
