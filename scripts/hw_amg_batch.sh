@@ -32,4 +32,12 @@ echo "--- phase 6: 20M-element generic + emit-only recapture" >> /tmp/hw_results
 timeout 3600 python examples/generic_assembly_20m.py >> /tmp/hw_results.log 2>&1
 echo "phase6 rc=$?" >> /tmp/hw_results.log
 
+echo "--- phase 7: unstructured elasticity 1M block-AMG" >> /tmp/hw_results.log
+timeout 3600 python examples/elasticity_unstructured.py --precond amg >> /tmp/hw_results.log 2>&1
+echo "phase7 rc=$?" >> /tmp/hw_results.log
+
+echo "--- phase 8: unstructured elasticity 1M block-Jacobi A/B" >> /tmp/hw_results.log
+timeout 3600 python examples/elasticity_unstructured.py --precond jacobi >> /tmp/hw_results.log 2>&1
+echo "phase8 rc=$?" >> /tmp/hw_results.log
+
 echo "=== hw batch done $(date)" >> /tmp/hw_results.log

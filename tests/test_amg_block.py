@@ -125,6 +125,25 @@ def test_rank_deficient_aggregates_handled():
     assert bool(res.converged)
 
 
+def test_solve_elasticity_amg_pallas_path(monkeypatch):
+    """precond="amg" composed with matvec="pallas" (the production
+    combination at scale): RCM-permuted hierarchy + component-major
+    banded CG must reproduce the gather-path solution."""
+    monkeypatch.setenv("TPUFEM_BAND_DISPATCH", "0")
+    mesh = perturbed_rectangle_mesh(-1, 1, -1, 1, 16, 16, jitter=0.2,
+                                    seed=0)
+    ref = solve_elasticity(mesh, body_force=_body_force, tol=1e-9,
+                           maxiter=2000)
+    s = solve_elasticity(mesh, body_force=_body_force, tol=1e-9,
+                         maxiter=200, matvec="pallas", precond="amg",
+                         interpret=True)
+    assert bool(s.cg.converged)
+    assert int(s.cg.iterations) <= 30
+    scale = float(np.abs(np.asarray(ref.u)).max())
+    assert np.abs(np.asarray(s.u)
+                  - np.asarray(ref.u)).max() < 1e-7 * scale
+
+
 def test_solve_elasticity_amg_api():
     mesh = perturbed_rectangle_mesh(-1, 1, -1, 1, 24, 24, jitter=0.2,
                                     seed=0)

@@ -124,8 +124,27 @@ def solve_elasticity(mesh: Mesh, *, lam: float = 1.0, mu: float = 1.0,
             return bcsr_matvec_pallas(plan, d_dev, r_dev, x,
                                       interpret=interpret)
 
-        def M(r):
-            return (inv_blocks * r[None]).sum(axis=1)
+        if precond == "amg":
+            # hierarchy over the RCM-permuted system (min-index-numbered
+            # aggregates then keep every coarse block operator banded);
+            # the cycle works in node-major layout, the banded CG in
+            # component-major — two cheap relayouts per application
+            from tpufem.solve.amg_block import build_block_amg
+            hier = build_block_amg(
+                BCSRMatrix(jnp.asarray(data_p), jnp.asarray(cols_p),
+                           diag_pos=jnp.asarray(np.argmax(
+                               cols_p == np.arange(len(perm))[:, None],
+                               axis=1).astype(np.int32))),
+                coords=np.asarray(mesh.coords)[perm])
+
+            def M(r_cm):
+                z = hier.apply(r_cm.T.reshape(-1))
+                return z.reshape(-1, nb).T
+        elif precond in (None, "jacobi"):
+            def M(r):
+                return (inv_blocks * r[None]).sum(axis=1)
+        else:
+            raise ValueError(f"unknown precond {precond!r}")
 
         res = cg(mv, b_cm, tol=tol, maxiter=maxiter, M=M)
         u_nm = np.asarray(res.x).T[inv].reshape(-1)          # original order
