@@ -219,7 +219,11 @@ def test_interval_wcycle_amg_pcg_bounded_iteration_growth(monkeypatch):
         assert bw <= 4096
 
 
-def test_amg_pcg_mesh_independent_iterations():
+def test_amg_pcg_mesh_independent_iterations(monkeypatch):
+    # iteration counts are matvec-backend-independent: force the gather
+    # SpMV (the interpreted banded kernel at n=160 costs CPU-minutes; its
+    # numerics are covered by the sparse parity tests)
+    monkeypatch.setenv("TPUFEM_BAND_DISPATCH", "0")
     iters = {}
     for n in (40, 160):
         mesh, A, b, exact = _system(n)
