@@ -337,6 +337,85 @@ def _p2_system(n):
             jnp.asarray(np.asarray(b)[perm]))
 
 
+def test_greedy_strength_amg_on_anisotropic_operator(monkeypatch):
+    """-div(diag(1, eps) grad u), eps = 0.01: weak y-couplings glue
+    unrelated DOFs into aggregates without strength filtering (54-75
+    PCG iterations, growing); filtering recovers line aggregation along
+    the strong direction — 8-10 iterations, mesh-independent (the
+    classical SA semicoarsening result, Vanek '96)."""
+    monkeypatch.setenv("TPUFEM_BAND_DISPATCH", "0")
+    from tpufem.fem.space import FunctionSpace
+    from tpufem.forms.language import SpatialCoordinate, grad
+    from tpufem.forms.weakform import WeakForm
+    from tpufem.mesh.rectangle import rectangle_mesh
+    from tpufem.sparse.ell import ELLMatrix, reorder_ell
+
+    eps = 0.01
+    iters = {}
+    for n in (64, 128):
+        mesh = rectangle_mesh(-3, 3, -3, 3, n, n)
+        V = FunctionSpace(mesh, degree=1)
+        X = SpatialCoordinate(V)
+        wf = WeakForm(V).build(
+            lambda u, v: (grad(u)[0] * grad(v)[0]
+                          + eps * grad(u)[1] * grad(v)[1]),
+            lambda v: (36 - 2 * (X[0] ** 2 + X[1] ** 2)) * v)
+        A, b = wf.assemble(format="ell")
+        A, b = apply_dirichlet_ell(A, b, jnp.asarray(V.dof_flags))
+        perm = reverse_cuthill_mckee(np.asarray(A.cols))
+        dp, cp = reorder_ell(np.asarray(A.data), np.asarray(A.cols),
+                             perm)
+        Ap = ELLMatrix(jnp.asarray(dp), jnp.asarray(cp))
+        bp = jnp.asarray(np.asarray(b)[perm])
+        h = build_amg(Ap, coarse_n=300, aggregation="greedy",
+                      strength=0.08)
+        res = cg(Ap.matvec, bp, tol=1e-8, maxiter=100, M=h.apply)
+        assert bool(res.converged)
+        iters[n] = int(res.iterations)
+        if n == 64:     # unfiltered comparison once (documented contrast)
+            h0 = build_amg(Ap, coarse_n=300, aggregation="greedy")
+            r0 = cg(Ap.matvec, bp, tol=1e-8, maxiter=300, M=h0.apply)
+            assert int(r0.iterations) > 2 * iters[n]
+    assert iters[64] <= 15 and iters[128] <= 15, iters
+    assert iters[128] <= iters[64] + 3, iters
+
+
+def test_greedy_strength_amg_on_3d_tet_system(monkeypatch):
+    """AMG is dimension-agnostic: perturbed 3D tet P1 Poisson (K=16 ELL,
+    RCM bandwidth ~ n^2) converges in <= 15 iterations with
+    greedy+strength (measured 9; interval-W 17, plain greedy 13)."""
+    monkeypatch.setenv("TPUFEM_BAND_DISPATCH", "0")
+    from tpufem.fem.elements import P1Tetrahedron
+    from tpufem.mesh.box import box_mesh
+
+    n = 16
+    mesh0 = box_mesh(-3, 3, -3, 3, -3, 3, n, n, n)
+    rng = np.random.default_rng(0)
+    h3 = 6.0 / n
+    pert = rng.uniform(-0.2 * h3, 0.2 * h3, mesh0.coords.shape)
+    coords = mesh0.coords + np.where(
+        (mesh0.node_flags != 0)[:, None], 0.0, pert)
+    mesh0 = Mesh(coords=coords, conn=mesh0.conn,
+                 node_flags=mesh0.node_flags, cell_type=mesh0.cell_type)
+    pat = ell_pattern(mesh0.conn, mesh0.num_nodes, pad_to=16)
+    perm = reverse_cuthill_mckee(pat.cols)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    mesh0 = Mesh(coords=np.ascontiguousarray(mesh0.coords[perm]),
+                 conn=inv[mesh0.conn].astype(mesh0.conn.dtype),
+                 node_flags=np.ascontiguousarray(mesh0.node_flags[perm]),
+                 cell_type=mesh0.cell_type)
+    pat = ell_pattern(mesh0.conn, mesh0.num_nodes, pad_to=16)
+    ec = jnp.asarray(mesh0.element_coords())
+    A = assemble_ell(pat, p1_stiffness(ec, P1Tetrahedron()))
+    b = jnp.asarray(rng.standard_normal(mesh0.num_nodes))
+    A, b = apply_dirichlet_ell(A, b, jnp.asarray(mesh0.node_flags != 0))
+    hier = build_amg(A, coarse_n=300, aggregation="greedy", strength=0.08)
+    res = cg(A.matvec, b, tol=1e-8, maxiter=100, M=hier.apply)
+    assert bool(res.converged)
+    assert int(res.iterations) <= 15, int(res.iterations)
+
+
 def test_interval_amg_on_p2_system(monkeypatch):
     """AMG is algebraic: it must precondition higher-order (P2) systems
     too — wider stencils (K=24), edge DOFs interleaved with vertex DOFs.
