@@ -284,9 +284,12 @@ def ell_pattern(conn: np.ndarray, num_nodes: int, pad_to: int | None = None,
     slots = slot_flat.reshape(-1, npe, npe).astype(np.int32)
 
     if with_sort_plan:
-        # keys ascending == (row, col) lexicographic == slot_flat ascending,
-        # and the stable argsort preserves within-slot entry order — exactly
-        # the plan the segment-sum assembly needs, for free.
+        # keys ascending == (row, col) lexicographic == slot_flat
+        # ascending — exactly the plan the segment-sum assembly needs,
+        # for free.  Within one slot the entry order is whatever the
+        # (deterministic, unstable) introsort produced: fixed for a given
+        # input, but NOT the element order — don't rely on it for
+        # bitwise-reproducible goldens across numpy versions.
         perm = order
         sorted_slots = slot_flat[order].astype(np.int32)
     else:

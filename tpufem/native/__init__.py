@@ -30,11 +30,16 @@ _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
 
 def build_native(force: bool = False) -> bool:
-    """Compile the shared library with make/g++. Returns success."""
-    if os.path.exists(_SO) and not force:
+    """Compile the shared library with make/g++. Returns success.
+
+    A pre-existing .so older than meshgen.cpp is rebuilt (a stale
+    round-N-1 library would be missing newly added symbols)."""
+    src = os.path.join(_DIR, "meshgen.cpp")
+    if (os.path.exists(_SO) and not force
+            and os.path.getmtime(_SO) >= os.path.getmtime(src)):
         return True
     try:
-        subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+        subprocess.run(["make", "-C", _DIR, "-s", "-B"], check=True,
                        capture_output=True)
         return os.path.exists(_SO)
     except (subprocess.CalledProcessError, FileNotFoundError):
@@ -45,9 +50,25 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) and not build_native():
+    if not build_native():
         return None
-    lib = ctypes.CDLL(_SO)
+    try:
+        lib = _bind(ctypes.CDLL(_SO))
+    except (OSError, AttributeError):
+        # stale library missing a symbol (or unloadable): one forced
+        # rebuild, then give up -> available() returns False and every
+        # caller falls back to the numpy paths instead of raising
+        if not build_native(force=True):
+            return None
+        try:
+            lib = _bind(ctypes.CDLL(_SO))
+        except (OSError, AttributeError):
+            return None
+    _lib = lib
+    return lib
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.tpufem_rectangle_mesh.argtypes = [
         ctypes.c_double] * 4 + [ctypes.c_int64] * 2 + [_f64p, _i32p, _i32p]
     lib.tpufem_rectangle_mesh.restype = None
@@ -80,7 +101,6 @@ def _load() -> Optional[ctypes.CDLL]:
         _f64p, _i32p, ctypes.c_int32, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p]
     lib.tpufem_galerkin_ell.restype = ctypes.c_int64
-    _lib = lib
     return lib
 
 
@@ -214,6 +234,10 @@ def galerkin_ell(a_data: np.ndarray, a_cols: np.ndarray,
     a_cols = np.ascontiguousarray(a_cols, np.int32)
     p_data = np.ascontiguousarray(p_data, np.float64)
     p_cols = np.ascontiguousarray(p_cols, np.int32)
+    if a_data.shape != a_cols.shape or p_data.shape != p_cols.shape:
+        raise ValueError("data/cols shape mismatch")
+    if a_data.shape[0] != p_data.shape[0]:
+        raise ValueError("A and P row counts differ")
     n, K = a_data.shape
     Kp = p_data.shape[1]
     W = int(width_guess) or max(4 * K, 24)

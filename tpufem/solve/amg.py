@@ -276,10 +276,14 @@ class AMGHierarchy(NamedTuple):
 def _prime_wide(M: ELLMatrix, cols_np):
     """Prime M's banded Pallas plan when its bandwidth exceeds the
     auto-dispatch cap (which would otherwise silently ride the ~500x
-    slower gather).  Honors the TPUFEM_BAND_DISPATCH=0 escape."""
+    slower gather).  Honors the TPUFEM_BAND_DISPATCH=0 escape.  TPU
+    only: on other backends the banded kernel runs interpreted (~30x
+    slower than the gather it would replace)."""
     import os as _os
     from tpufem.sparse.ell import _AUTO_BAND_MAX
     if _os.environ.get("TPUFEM_BAND_DISPATCH", "1") == "0":
+        return
+    if jax.default_backend() != "tpu":
         return
     n = cols_np.shape[0]
     bw = int(np.abs(cols_np.astype(np.int64)
@@ -476,7 +480,16 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
                 # coarsening stalled (strength filtering can disconnect a
                 # coarse graph into near-singletons): stop here and let the
                 # dense coarsest solve take the remainder — more levels
-                # would add setup + cycle cost without reducing anything
+                # would add setup + cycle cost without reducing anything.
+                # Guard the dense fallback's size: an early stall on a
+                # large level would otherwise allocate an n^2 dense matrix
+                # (8 TB at 1M rows) instead of failing clearly.
+                if n > max(4 * coarse_n, 20_000):
+                    raise ValueError(
+                        f"AMG coarsening stalled at {n} rows (aggregation "
+                        f"produced {nc} aggregates) — too large for the "
+                        "dense coarsest solve; lower `strength` or use "
+                        "aggregation='interval'")
                 break
         count = np.bincount(agg, minlength=nc).astype(np.float64)
         tval = 1.0 / np.sqrt(count)[agg]          # normalized tentative T

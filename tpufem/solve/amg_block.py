@@ -369,7 +369,15 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
                             ).astype(np.int32)
         agg, nc = greedy_aggregate(agg_cols)
         if nc >= 0.7 * ns:
-            break                                  # coarsening stalled
+            # coarsening stalled: dense-coarsest fallback — but guard its
+            # size (an early stall would otherwise allocate an (ns*b)^2
+            # dense matrix instead of failing clearly)
+            if ns * b > max(4 * coarse_n, 20_000):
+                raise ValueError(
+                    f"block-AMG coarsening stalled at {ns} nodes "
+                    f"({nc} aggregates) — too large for the dense "
+                    "coarsest solve; lower `strength`")
+            break
 
         # tentative (per-aggregate QR of B) and smoothed prolongator
         t_data, Bc = _tentative(agg, nc, B, b)     # [ns,1,b,m], [nc*m, m]

@@ -131,10 +131,7 @@ def solve_elasticity(mesh: Mesh, *, lam: float = 1.0, mu: float = 1.0,
             # component-major — two cheap relayouts per application
             from tpufem.solve.amg_block import build_block_amg
             hier = build_block_amg(
-                BCSRMatrix(jnp.asarray(data_p), jnp.asarray(cols_p),
-                           diag_pos=jnp.asarray(np.argmax(
-                               cols_p == np.arange(len(perm))[:, None],
-                               axis=1).astype(np.int32))),
+                BCSRMatrix(jnp.asarray(data_p), jnp.asarray(cols_p)),
                 coords=np.asarray(mesh.coords)[perm])
 
             def M(r_cm):

@@ -174,12 +174,42 @@ class CompiledCache:
         return compiled
 
 
+_BIG_CONST = 1 << 22            # 4 MB
+
+
 def _hash_consts(consts) -> str:
-    """Digest the values of jaxpr-captured constants (shape+dtype+bytes)."""
+    """Digest the values of jaxpr-captured constants.
+
+    Small constants hash their full bytes.  Large DEVICE-resident
+    constants would be downloaded through the (slow) relay on every
+    ``get`` — hit or miss — so they hash a fingerprint computed on
+    device instead: head slice + strided sample (exact bytes at those
+    positions) + the float64 sum, alongside shape/dtype.  Two programs
+    colliding must agree on all sampled bytes AND the global sum — not a
+    cryptographic guarantee, but far beyond any non-adversarial
+    coefficient change; the full-bytes path covers everything small
+    enough to transfer cheaply.
+    """
     import numpy as np
     h = hashlib.sha256()
     for c in consts:
         try:
+            import jax as _jax
+            import jax.numpy as _jnp
+            if (isinstance(c, _jax.Array)
+                    and getattr(c, "nbytes", 0) > _BIG_CONST):
+                h.update(str(c.shape).encode())
+                h.update(str(c.dtype).encode())
+                x = c.ravel()
+                n = x.shape[0]
+                stride = max(1, n // 16384)
+                head = np.asarray(x[:16384])
+                samp = np.asarray(x[::stride])
+                s = np.asarray(x.astype(_jnp.float64).sum())
+                h.update(head.tobytes())
+                h.update(samp.tobytes())
+                h.update(s.tobytes())
+                continue
             a = np.asarray(c)
             h.update(str(a.shape).encode())
             h.update(str(a.dtype).encode())
