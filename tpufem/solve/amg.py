@@ -254,6 +254,15 @@ class AMGLevel(NamedTuple):
     Qp: ELLMatrix = None    # embedded prolongator  [n_f, n_f]
     Qr: ELLMatrix = None    # embedded restriction  [n_f, n_f]
     emb: jax.Array = None   # [n_c] int32, first fine member per aggregate
+    # interval diag-folded transfer operators: the tv/omega/inv_diag
+    # scalings of the matrix-free interval transfers are pre-multiplied
+    # into operator copies (float64 on the host), so each transfer is
+    # ONE banded SpMV instead of a SpMV plus ~7 HBM vector passes:
+    #   restrict: w = Rop @ res;  prolong: x = Pop @ upsample(xc)
+    # with Rop = diag(tv) - omega diag(tv) A diag(inv_d),
+    #      Pop = diag(tv)... transposed smoothing: (I - omega D^-1 A) diag(tv)
+    Rop: ELLMatrix = None
+    Pop: ELLMatrix = None
 
 
 class AMGHierarchy(NamedTuple):
@@ -355,7 +364,10 @@ def _restrict(lv: AMGLevel, res):
         return lv.Qr.matvec(res)[lv.emb]
     if lv.s == 0:
         return ell_matvec(lv.r_data, lv.r_cols, res)
-    w = lv.tv * (res - lv.omega * lv.A.matvec(lv.inv_diag * res))
+    if lv.Rop is not None:
+        w = lv.Rop.matvec(res)          # diag-folded: one banded SpMV
+    else:
+        w = lv.tv * (res - lv.omega * lv.A.matvec(lv.inv_diag * res))
     n = w.shape[0]
     nc = -(-n // lv.s)
     return jnp.pad(w, (0, nc * lv.s - n)).reshape(nc, lv.s).sum(axis=1)
@@ -376,7 +388,10 @@ def _prolong(lv: AMGLevel, xc):
     if lv.s == 0:
         return ell_matvec(lv.p_data, lv.p_cols, xc)
     n = lv.tv.shape[0]
-    t = lv.tv * jnp.repeat(xc, lv.s, total_repeat_length=lv.s * xc.shape[0])[:n]
+    u = jnp.repeat(xc, lv.s, total_repeat_length=lv.s * xc.shape[0])[:n]
+    if lv.Pop is not None:
+        return lv.Pop.matvec(u)         # diag-folded: one banded SpMV
+    t = lv.tv * u
     return t - lv.omega * (lv.inv_diag * lv.A.matvec(t))
 
 
@@ -533,7 +548,28 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
             _prime_wide(Adev, cols)
         fine_A = None
         if aggregation == "interval":
-            # transfers applied matrix-free (repeat/reshape + banded SpMV)
+            # transfers applied matrix-free (repeat/reshape + banded SpMV).
+            # Diag-folding (BENCH_NOTES r4): pre-multiply the tv / omega /
+            # inv_d scalings into operator copies in float64 so each
+            # transfer is ONE banded SpMV instead of a SpMV + ~7 vector
+            # passes:  Rop = diag(tv)(I - omega A D^-1),
+            #          Pop = (I - omega D^-1 A) diag(tv)  (= Rop^T).
+            c64 = cols.astype(np.int64)
+            dslot = np.argmax(cols == np.arange(n)[:, None], axis=1)
+            Rop = Pop = None
+            if (cols[np.arange(n), dslot] == np.arange(n)).all():
+                rop = -omega * tval[:, None] * data * inv_d[c64]
+                pop = -omega * inv_d[:, None] * data * tval[c64]
+                rop[np.arange(n), dslot] += tval
+                pop[np.arange(n), dslot] += tval
+                cols_dev = jnp.asarray(cols.astype(np.int32))
+                Rop = ELLMatrix(jnp.asarray(rop.astype(dtype)), cols_dev)
+                Pop = ELLMatrix(jnp.asarray(pop.astype(dtype)), cols_dev)
+                if jax.default_backend() == "tpu":
+                    _prime_wide(Rop, cols)
+                    _prime_wide(Pop, cols)
+                else:
+                    Rop._band = Pop._band = None    # gather on CPU
             levels.append(AMGLevel(
                 A=Adev,
                 inv_diag=jnp.asarray(inv_d.astype(dtype)),
@@ -541,7 +577,8 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
                 p_data=None, p_cols=None, r_data=None, r_cols=None,
                 s=s,
                 tv=jnp.asarray(tval.astype(dtype)),
-                omega=float(omega)))
+                omega=float(omega),
+                Rop=Rop, Pop=Pop))
         elif transfer == "banded":
             # embed P [n, nc] as a SQUARE banded matrix on each aggregate's
             # first fine member: emb[c] strictly increases with c (min-index
