@@ -40,4 +40,8 @@ echo "--- phase 8: unstructured elasticity 1M block-Jacobi A/B" >> /tmp/hw_resul
 timeout 3600 python examples/elasticity_unstructured.py --precond jacobi >> /tmp/hw_results.log 2>&1
 echo "phase8 rc=$?" >> /tmp/hw_results.log
 
+echo "--- phase 9: semilinear Newton-Krylov 263k DOFs" >> /tmp/hw_results.log
+timeout 1800 python examples/nonlinear_poisson.py >> /tmp/hw_results.log 2>&1
+echo "phase9 rc=$?" >> /tmp/hw_results.log
+
 echo "=== hw batch done $(date)" >> /tmp/hw_results.log

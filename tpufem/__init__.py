@@ -47,4 +47,7 @@ def __getattr__(name):
     if name == "build_block_amg":
         from tpufem.solve.amg_block import build_block_amg
         return build_block_amg
+    if name == "newton_krylov":
+        from tpufem.solve.newton import newton_krylov
+        return newton_krylov
     raise AttributeError(f"module 'tpufem' has no attribute {name!r}")

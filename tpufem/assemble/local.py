@@ -140,6 +140,28 @@ def map_points(ecoords, element: ReferenceElement, rule: QuadratureRule):
     return (phi[None, :, :, None] * ecoords[:, None, :, :]).sum(2)
 
 
+def element_nonlinear_load(ecoords, element: ReferenceElement,
+                           rule: QuadratureRule, u_local, g):
+    """State-dependent load: b_e[i] = sum_q w_q phi_i(q) g(u(x_q)) |detJ|.
+
+    The element vector of a semilinear term ``∫ g(u) v`` — evaluated by
+    interpolating the local DOFs ``u_local [NE, n]`` to the quadrature
+    points through the shape values.  Differentiable in ``u_local``, so
+    ``jax.jvp`` of an assembly built on this yields the exact Gateaux
+    derivative ∫ g'(u) w v — the Jacobian term Newton needs — with no
+    symbolic differentiation (tpufem.solve.newton; contrast the
+    reference's GiNaC engine, /root/reference/fea_symbolic.cu:20-71).
+    """
+    phi = jnp.asarray(element.shape_values(rule.points), ecoords.dtype)
+    w = jnp.asarray(rule.weights, ecoords.dtype)
+    _, adet = affine_geometry(ecoords, element)
+    uq = (phi[None, :, :] * u_local[:, None, :]).sum(-1)   # [NE, Q]
+    gq = g(uq)
+    wphi = w[:, None] * phi                                # [Q, n]
+    be = (gq[:, :, None] * wphi[None, :, :]).sum(1)        # [NE, n]
+    return be * adet[:, None]
+
+
 def element_load(ecoords, element: ReferenceElement, rule: QuadratureRule, f):
     """Local load vectors b_e[i] = sum_q w_q phi_i(q) f(x_q) |detJ|.
 

@@ -131,9 +131,23 @@ class ELLMatrix:
         if band not in (None, "unresolved"):
             from tpufem.sparse.ell_pallas import ell_matvec_pallas
             plan, data_dev, rel_dev = band
-            return ell_matvec_pallas(plan, data_dev, rel_dev, x,
-                                     interpret=jax.default_backend()
-                                     != "tpu")
+            interp = jax.default_backend() != "tpu"
+
+            # pallas_call has no autodiff rule; the matvec is linear in x,
+            # so declare the (exact) JVP explicitly — this is what lets
+            # jax.jvp differentiate residuals built on the banded kernel
+            # (matrix-free Newton-Krylov, tpufem.solve.newton)
+            @jax.custom_jvp
+            def mv(v):
+                return ell_matvec_pallas(plan, data_dev, rel_dev, v,
+                                         interpret=interp)
+
+            @mv.defjvp
+            def _mv_jvp(primals, tangents):
+                (v,), (dv,) = primals, tangents
+                return mv(v), mv(dv)
+
+            return mv(x)
         return ell_matvec(self.data, self.cols, x)
 
     def __matmul__(self, x):
