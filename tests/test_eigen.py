@@ -1,0 +1,88 @@
+"""Modal analysis (tpufem.solve.eigen): smallest generalized eigenpairs.
+
+Golden check: the Dirichlet Laplacian on (-3,3)² has analytic modes
+lambda_ij = pi² (i² + j²) / 36 — the computed FEM eigenvalues must match
+to discretization accuracy (O(h²)), including the (1,2)/(2,1) double
+eigenvalue, with M_L-orthonormal eigenvectors and tiny algebraic
+residuals.
+"""
+import numpy as np
+
+import jax.numpy as jnp
+
+from tpufem.assemble.dense import assemble_vector
+from tpufem.assemble.ell import assemble_ell
+from tpufem.assemble.local import element_mass, p1_stiffness
+from tpufem.fem.elements import P1Triangle
+from tpufem.fem.quadrature import triangle_rule
+from tpufem.mesh.adjacency import ell_pattern
+from tpufem.mesh.rectangle import rectangle_mesh
+from tpufem.solve.bc import apply_dirichlet_ell
+from tpufem.solve.eigen import smallest_eigenpairs
+from tpufem.solve.precond import jacobi
+
+
+def _system(n):
+    mesh = rectangle_mesh(-3, 3, -3, 3, n, n)
+    pat = ell_pattern(mesh.conn, mesh.num_nodes, pad_to=8)
+    ec = jnp.asarray(mesh.element_coords())
+    A = assemble_ell(pat, p1_stiffness(ec, P1Triangle()))
+    bc = jnp.asarray(mesh.node_flags != 0)
+    A, _ = apply_dirichlet_ell(A, jnp.zeros(mesh.num_nodes), bc)
+    Me = element_mass(ec, P1Triangle(), triangle_rule(5))
+    mL = assemble_vector(jnp.asarray(mesh.conn), Me.sum(-1),
+                         mesh.num_nodes)
+    return mesh, A, mL, bc
+
+
+def _analytic(k):
+    return np.array(sorted(np.pi ** 2 / 36 * (i * i + j * j)
+                           for i in range(1, 5)
+                           for j in range(1, 5)))[:k]
+
+
+def test_laplacian_modes_match_analytic():
+    mesh, A, mL, bc = _system(48)
+    res = smallest_eigenpairs(A.matvec, mesh.num_nodes, 5,
+                              lumped_mass=mL, M=jacobi(A), bc_mask=bc,
+                              inner_iters=60, outer_iters=25)
+    lam = np.asarray(res.eigenvalues)
+    exact = _analytic(5)
+    rel = np.abs(lam - exact) / exact
+    assert rel.max() < 5e-3, (lam, exact)       # O(h^2) at n=48
+    assert np.asarray(res.residual_norms).max() < 1e-5
+    # double eigenvalue (1,2)/(2,1) resolved as a pair
+    assert abs(lam[1] - lam[2]) < 1e-6 * lam[1]
+    # M_L-orthonormality
+    U = np.asarray(res.eigenvectors)
+    G = U.T @ (np.asarray(mL)[:, None] * U)
+    assert np.abs(G - np.eye(5)).max() < 1e-8
+
+
+def test_modes_converge_at_second_order():
+    errs = {}
+    for n in (24, 48):
+        mesh, A, mL, bc = _system(n)
+        res = smallest_eigenpairs(A.matvec, mesh.num_nodes, 1,
+                                  lumped_mass=mL, M=jacobi(A),
+                                  bc_mask=bc, inner_iters=60,
+                                  outer_iters=20)
+        lam1 = float(res.eigenvalues[0])
+        errs[n] = abs(lam1 - np.pi ** 2 / 18)
+    rate = np.log2(errs[24] / errs[48])
+    assert rate > 1.6, (errs, rate)             # ~O(h^2)
+
+
+def test_standard_problem_no_mass():
+    """Without lumped_mass the solver returns the smallest eigenpairs of
+    the matrix itself — cross-checked against dense eigh on a small
+    system (interior block; constrained rows carry identity)."""
+    mesh, A, _, bc = _system(10)
+    res = smallest_eigenpairs(A.matvec, mesh.num_nodes, 3, bc_mask=bc,
+                              M=jacobi(A), inner_iters=80,
+                              outer_iters=25)
+    Ad = np.asarray(A.to_dense())
+    free = ~np.asarray(bc)
+    w = np.linalg.eigvalsh(Ad[np.ix_(free, free)])
+    np.testing.assert_allclose(np.asarray(res.eigenvalues), w[:3],
+                               rtol=1e-6)

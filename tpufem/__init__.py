@@ -50,4 +50,7 @@ def __getattr__(name):
     if name == "newton_krylov":
         from tpufem.solve.newton import newton_krylov
         return newton_krylov
+    if name == "smallest_eigenpairs":
+        from tpufem.solve.eigen import smallest_eigenpairs
+        return smallest_eigenpairs
     raise AttributeError(f"module 'tpufem' has no attribute {name!r}")
