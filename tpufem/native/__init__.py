@@ -43,7 +43,9 @@ def build_native(force: bool = False) -> bool:
                        capture_output=True)
         return os.path.exists(_SO)
     except (subprocess.CalledProcessError, FileNotFoundError):
-        return False
+        # no toolchain (deploy box): a prebuilt .so is still usable —
+        # _bind's symbol check below catches a genuinely stale library
+        return os.path.exists(_SO)
 
 
 def _load() -> Optional[ctypes.CDLL]:

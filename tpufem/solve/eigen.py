@@ -54,6 +54,13 @@ def smallest_eigenpairs(matvec: Callable, n: int, k: int, *,
     inner_iters: CG iterations per inverse application.
     buffer:      extra subspace vectors; eigenpair j contracts per outer
                  step like (lambda_j / lambda_{k+buffer+1}).
+
+    The q = k+buffer inner solves run column-serial (the generic
+    ``matvec`` takes one vector; block/batched right-hand sides would
+    need a multi-vector SpMV — a known q-fold wall-clock cost at small
+    q).  ``dtype`` follows jax's x64 setting: with x64 off everything
+    runs (correctly, eps-scaled) in float32 and the achievable residual
+    floor is ~1e-6.
     """
     q = k + buffer
     mL = (jnp.ones(n, dtype) if lumped_mass is None
@@ -78,9 +85,12 @@ def smallest_eigenpairs(matvec: Callable, n: int, k: int, *,
         AY = amv_block(Y)
         Ah = Y.T @ AY
         Mh = Y.T @ (mL[:, None] * Y)
+        eps = jnp.finfo(Ah.dtype).eps     # dtype-robust: the requested
+        # float64 silently demotes to float32 when x64 is off, and a
+        # fixed 1e-14 shift would then be below machine precision
         L = jnp.linalg.cholesky(
             0.5 * (Mh + Mh.T)
-            + 1e-14 * jnp.trace(Mh) * jnp.eye(q, dtype=dtype))
+            + 100.0 * eps * jnp.trace(Mh) * jnp.eye(q, dtype=Ah.dtype))
         Li = jax.scipy.linalg.solve_triangular(
             L, jnp.eye(q, dtype=dtype), lower=True)
         w, V = jnp.linalg.eigh(Li @ (0.5 * (Ah + Ah.T)) @ Li.T)
@@ -97,9 +107,11 @@ def smallest_eigenpairs(matvec: Callable, n: int, k: int, *,
     X = jax.lax.fori_loop(0, outer_iters, body, X)
     lam, U = ritz(X)
     lam, U = lam[:k], U[:, :k]
+    AU = amv_block(U)
     res = jnp.stack([
-        jnp.linalg.norm(matvec(U[:, j]) - lam[j] * mL * U[:, j])
-        / jnp.maximum(jnp.linalg.norm(matvec(U[:, j])), 1e-300)
+        jnp.linalg.norm(AU[:, j] - lam[j] * mL * U[:, j])
+        / jnp.maximum(jnp.linalg.norm(AU[:, j]),
+                      jnp.finfo(AU.dtype).tiny)
         for j in range(k)])
     return EigenResult(eigenvalues=lam, eigenvectors=U,
                        iterations=outer_iters, residual_norms=res)

@@ -69,10 +69,10 @@ def newton_krylov(residual: Callable, x0, *, tol: float = 1e-8,
 
     def step(state):
         x, k, rn, prev, inner = state
-        r = residual(x)
-
-        def jmv(v):
-            return jax.jvp(residual, (x,), (v,))[1]
+        # linearize pays the primal ONCE per Newton step and returns both
+        # R(x) and the tangent map; jax.jvp inside the CG body would
+        # re-evaluate the full primal assembly on every inner iteration
+        r, jmv = jax.linearize(residual, x)
 
         # Eisenstat-Walker choice 2 forcing, safeguarded
         eta = jnp.where(prev > 0, 0.9 * (rn / prev) ** 2, forcing_max)

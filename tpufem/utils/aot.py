@@ -184,11 +184,13 @@ def _hash_consts(consts) -> str:
     constants would be downloaded through the (slow) relay on every
     ``get`` — hit or miss — so they hash a fingerprint computed on
     device instead: head slice + strided sample (exact bytes at those
-    positions) + the float64 sum, alongside shape/dtype.  Two programs
-    colliding must agree on all sampled bytes AND the global sum — not a
-    cryptographic guarantee, but far beyond any non-adversarial
-    coefficient change; the full-bytes path covers everything small
-    enough to transfer cheaply.
+    positions) + two EXACT integer checksums of the raw bits (plain and
+    position-weighted sums mod 2^32 — integer arithmetic, so unlike a
+    float sum no change can be absorbed by rounding, regardless of the
+    x64 setting), alongside shape/dtype.  Colliding programs must agree
+    on all sampled bytes AND both bit-checksums — not cryptographic,
+    but any single-element change is caught exactly; the full-bytes
+    path covers everything small enough to transfer cheaply.
     """
     import numpy as np
     h = hashlib.sha256()
@@ -205,10 +207,18 @@ def _hash_consts(consts) -> str:
                 stride = max(1, n // 16384)
                 head = np.asarray(x[:16384])
                 samp = np.asarray(x[::stride])
-                s = np.asarray(x.astype(_jnp.float64).sum())
+                bits = _jax.lax.bitcast_convert_type(
+                    x, {1: _jnp.uint8, 2: _jnp.uint16,
+                        4: _jnp.uint32, 8: _jnp.uint32}[x.dtype.itemsize])
+                bits = bits.reshape(-1).astype(_jnp.uint32)
+                w = (_jnp.arange(bits.shape[0], dtype=_jnp.uint32)
+                     % _jnp.uint32(65521)) + _jnp.uint32(1)
+                s1 = np.asarray(bits.sum())           # mod 2^32, exact
+                s2 = np.asarray((bits * w).sum())
                 h.update(head.tobytes())
                 h.update(samp.tobytes())
-                h.update(s.tobytes())
+                h.update(s1.tobytes())
+                h.update(s2.tobytes())
                 continue
             a = np.asarray(c)
             h.update(str(a.shape).encode())
