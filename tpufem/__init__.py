@@ -9,8 +9,10 @@ multi-chip scaling — plus the solver layers the reference lacked (Dirichlet
 BCs, preconditioned CG, matrix-free operators).
 """
 from tpufem.mesh.core import Mesh
-from tpufem.mesh.rectangle import rectangle_mesh, unit_square_mesh, RectangleMesh, UnitSquareMesh
-from tpufem.mesh.box import box_mesh, unit_cube_mesh, BoxMesh, UnitCubeMesh
+from tpufem.mesh.rectangle import (rectangle_mesh, unit_square_mesh,
+                                   RectangleMesh, UnitSquareMesh,
+                                   rectangle_quad_mesh)
+from tpufem.mesh.box import box_mesh, unit_cube_mesh, BoxMesh, UnitCubeMesh, box_hex_mesh
 from tpufem.mesh.adjacency import ell_pattern, node_adjacency, greedy_element_coloring
 from tpufem.fem.space import FunctionSpace, VectorFunctionSpace
 from tpufem.fem.quadrature import triangle_rule, tetrahedron_rule, rule_for_cell

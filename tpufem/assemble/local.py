@@ -87,6 +87,11 @@ def affine_geometry(ecoords, element: ReferenceElement):
     rx = ys/jac, ry = -xs/jac, ... (/root/reference/fea_test.cu:156-171) but
     with |det J| so clockwise elements (SURVEY.md §2.5.4) need no sign fixup.
     """
+    if element.cell_type not in _REF_VOLUME:
+        raise NotImplementedError(
+            f"affine geometry is undefined for {element.cell_type!r} "
+            "(multilinear map, non-constant Jacobian) — use the "
+            "isoparametric WeakForm path (forms.weakform)")
     # For P1 simplices dN is (I; -1...-1), so J is pure coordinate
     # differences: J[e, d, m] = x[e, m, d] - x[e, last, d] — exactly the
     # reference's xr = x1-x3, ... (fea_test.cu:158-161), computed

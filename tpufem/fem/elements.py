@@ -18,7 +18,7 @@ import numpy as np
 
 __all__ = ["ReferenceElement", "P1Segment", "P2Segment", "P1Triangle",
            "P1Tetrahedron", "P2Triangle", "P2Tetrahedron",
-           "element_for_cell"]
+           "Q1Quad", "Q1Hex", "element_for_cell", "is_affine_cell"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -176,6 +176,74 @@ class P2Tetrahedron(ReferenceElement):
         return np.stack(grads, axis=1)          # [Q, 10, 3]
 
 
+class _TensorProductQ1(ReferenceElement):
+    """Multilinear Lagrange element on the unit d-cube [0, 1]^d.
+
+    Shape function of the corner node with binary coordinates
+    (a_1, ..., a_d) is the product of the 1-D hat factors
+    f_0(x) = 1 - x, f_1(x) = x along each axis.  Unlike the affine
+    simplices above, the coordinate map x(r) built from these is
+    BILINEAR/TRILINEAR: its Jacobian varies across the cell, so assembly
+    must evaluate geometry per quadrature point (isoparametric path in
+    forms.weakform._geometry) — a capability with no counterpart in the
+    reference, which is P1 triangles only (/root/reference/fea_test.cu).
+    """
+
+    _CORNERS: np.ndarray  # [num_nodes, dim] binary corner coordinates
+
+    def shape_values(self, points):
+        # phi[q, n] = prod_m f_{corner[n, m]}(points[q, m])
+        p = points[:, None, :]                       # [Q, 1, dim]
+        a = self._CORNERS[None, :, :]                # [1, n, dim]
+        factors = np.where(a == 1, p, 1.0 - p)      # [Q, n, dim]
+        return factors.prod(axis=2)
+
+    def shape_grads(self, points):
+        p = points[:, None, :]
+        a = self._CORNERS[None, :, :]
+        factors = np.where(a == 1, p, 1.0 - p)      # [Q, n, dim]
+        dfactors = np.where(a == 1, 1.0, -1.0)      # [1, n, dim] signs
+        grads = np.empty((points.shape[0], self.num_nodes, self.dim))
+        for m in range(self.dim):
+            others = [k for k in range(self.dim) if k != m]
+            prod = np.ones_like(factors[..., 0])
+            for k in others:
+                prod = prod * factors[..., k]
+            grads[..., m] = dfactors[..., m] * prod
+        return grads
+
+
+class Q1Quad(_TensorProductQ1):
+    """Bilinear quadrilateral, nodes counterclockwise:
+    (0,0), (1,0), (1,1), (0,1)."""
+
+    _CORNERS = np.array([[0, 0], [1, 0], [1, 1], [0, 1]])
+
+    def __init__(self):
+        super().__init__("Q1", "quad", 2, 4, 1)
+
+
+class Q1Hex(_TensorProductQ1):
+    """Trilinear hexahedron, VTK node order: bottom face counterclockwise
+    (0,0,0), (1,0,0), (1,1,0), (0,1,0), then the top face in the same
+    order at t = 1."""
+
+    _CORNERS = np.array([
+        [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+        [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+    ])
+
+    def __init__(self):
+        super().__init__("Q1", "hexahedron", 3, 8, 1)
+
+
+def is_affine_cell(cell_type: str) -> bool:
+    """True for cells whose P1 coordinate map has a constant Jacobian
+    (simplices); False for tensor-product cells (quad/hex), whose
+    multilinear map needs per-quadrature-point geometry."""
+    return cell_type in ("segment", "triangle", "tetrahedron")
+
+
 def element_for_cell(cell_type: str, degree: int = 1) -> ReferenceElement:
     table = {
         ("segment", 1): P1Segment,
@@ -184,6 +252,8 @@ def element_for_cell(cell_type: str, degree: int = 1) -> ReferenceElement:
         ("triangle", 2): P2Triangle,
         ("tetrahedron", 1): P1Tetrahedron,
         ("tetrahedron", 2): P2Tetrahedron,
+        ("quad", 1): Q1Quad,
+        ("hexahedron", 1): Q1Hex,
     }
     try:
         return table[(cell_type, degree)]()

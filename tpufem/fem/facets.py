@@ -28,6 +28,8 @@ __all__ = ["BoundaryFacets", "boundary_facets", "facet_dof_conn",
 _TRI_EDGES = np.array([[0, 1], [1, 2], [2, 0]], dtype=np.int64)
 _TET_FACETS = np.array([[1, 2, 3], [0, 2, 3], [0, 1, 3], [0, 1, 2]],
                        dtype=np.int64)
+# Q1 quad edges, counterclockwise (fem.elements.Q1Quad node order)
+_QUAD_EDGES = np.array([[0, 1], [1, 2], [2, 3], [3, 0]], dtype=np.int64)
 
 
 class BoundaryFacets(NamedTuple):
@@ -53,12 +55,20 @@ def boundary_facets(mesh) -> BoundaryFacets:
     elif mesh.cell_type == "tetrahedron":
         local = _TET_FACETS
         fcell = "triangle"
+    elif mesh.cell_type == "quad":
+        local = _QUAD_EDGES
+        fcell = "segment"
     else:
-        raise NotImplementedError(mesh.cell_type)
+        raise NotImplementedError(
+            f"boundary facets for {mesh.cell_type!r} (hex surface "
+            "integrals need per-point surface Jacobians; apply Dirichlet "
+            "BCs via node flags instead)")
     nlf, nv = local.shape
     facets = conn[:, local].reshape(-1, nv)          # [NE*nlf, nv]
-    # opposite vertex of each facet within its element
-    opp_local = np.array([list(set(range(conn.shape[1])) - set(f))[0]
+    # A vertex of the element NOT on the facet; for convex cells any such
+    # vertex lies strictly on the interior side, which is all the outward
+    # -normal orientation below needs.
+    opp_local = np.array([sorted(set(range(conn.shape[1])) - set(f))[0]
                           for f in local])
     opposite = conn[:, opp_local].reshape(-1)        # [NE*nlf]
     keys = np.sort(facets, axis=1)

@@ -26,6 +26,7 @@ import numpy as np
 
 __all__ = [
     "QuadratureRule", "segment_rule", "triangle_rule", "tetrahedron_rule",
+    "quad_rule", "hexahedron_rule",
     "TRI7_FP32_W", "TRI7_FP32_R", "TRI7_FP32_S", "TRI7_FP32_T",
 ]
 
@@ -155,6 +156,36 @@ def tetrahedron_rule(degree: int) -> QuadratureRule:
     return QuadratureRule(pts, w, degree, "tetrahedron")
 
 
+def _tensor_rule(degree: int, dim: int, cell_type: str) -> QuadratureRule:
+    """Tensor-product Gauss-Legendre on [0, 1]^dim (weights sum to 1).
+
+    Exact for polynomials of degree <= 2*n1 - 1 PER AXIS — the right
+    exactness notion for tensor-product (Q1) bases, whose integrands are
+    products of per-axis polynomials.
+    """
+    n1 = max(1, (degree + 2) // 2)
+    x, w = np.polynomial.legendre.leggauss(n1)
+    x = 0.5 * (x + 1.0)
+    w = 0.5 * w
+    grids = np.meshgrid(*([x] * dim), indexing="ij")
+    pts = np.stack([g.reshape(-1) for g in grids], axis=1)
+    wgrids = np.meshgrid(*([w] * dim), indexing="ij")
+    weights = np.ones(pts.shape[0], dtype=np.float64)
+    for wg in wgrids:
+        weights = weights * wg.reshape(-1)
+    return QuadratureRule(pts, weights, 2 * n1 - 1, cell_type)
+
+
+def quad_rule(degree: int) -> QuadratureRule:
+    """Gauss rule on the reference square [0, 1]^2 (weights sum to 1)."""
+    return _tensor_rule(degree, 2, "quad")
+
+
+def hexahedron_rule(degree: int) -> QuadratureRule:
+    """Gauss rule on the reference cube [0, 1]^3 (weights sum to 1)."""
+    return _tensor_rule(degree, 3, "hexahedron")
+
+
 def rule_for_cell(cell_type: str, degree: int) -> QuadratureRule:
     if cell_type == "segment":
         return segment_rule(degree)
@@ -162,4 +193,8 @@ def rule_for_cell(cell_type: str, degree: int) -> QuadratureRule:
         return triangle_rule(degree)
     if cell_type == "tetrahedron":
         return tetrahedron_rule(degree)
+    if cell_type == "quad":
+        return quad_rule(degree)
+    if cell_type == "hexahedron":
+        return hexahedron_rule(degree)
     raise ValueError(f"unknown cell type {cell_type!r}")

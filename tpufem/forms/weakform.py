@@ -128,28 +128,49 @@ def _basis_tables(space: FunctionSpace, rule: QuadratureRule, dtype):
 
 
 def _geometry(ecoords, dN, space: FunctionSpace, rule, dtype):
-    """|detJ| [NE], gphys [NE, Q, ns, d], xq [NE, Q, d].
+    """gphys [NE, Q, ns, d], |detJ| [NE, Q], xq [NE, Q, d].
 
-    The coordinate map is always the P1 vertex map (affine simplices), so J
-    is constant per element even when the *basis* is higher order (P2+),
-    whose gradients then vary with q through dN.
+    Two regimes, dispatched on the cell type:
+
+    * affine simplices — the P1 vertex map has a CONSTANT Jacobian per
+      element, even when the *basis* is higher order (P2+, whose
+      gradients vary with q only through dN).  One inverse per element;
+      |detJ| broadcasts over Q for a uniform downstream contraction.
+    * tensor-product cells (quad/hex) — the multilinear isoparametric
+      map's Jacobian varies across the cell, so J, its inverse and
+      |detJ| are evaluated at every quadrature point.
+
+    All tiny contractions are broadcast-multiply-reduce: fp32-exact on
+    TPU and free of the pathological XLA small-dot compile times
+    (assemble.local).
     """
-    from tpufem.fem.elements import element_for_cell
+    from tpufem.fem.elements import element_for_cell, is_affine_cell
 
     geo = element_for_cell(space.mesh.cell_type, 1)
     phi_geo = jnp.asarray(geo.shape_values(rule.points), dtype)   # [Q, npe]
-    dN_geo = jnp.asarray(
-        geo.shape_grads(rule.points)[0], dtype)                   # [npe, dim]
-    # All tiny contractions are broadcast-multiply-reduce: fp32-exact on TPU
-    # and free of the pathological XLA small-dot compile times (local.py).
-    # J[e,d,m] = sum_n x[e,n,d] dN_geo[n,m]
-    J = (ecoords[:, :, :, None] * dN_geo[None, :, None, :]).sum(1)
-    invJ, det = _inv_and_det(J)
-    # gphys[e,q,n,d] = sum_m dN[q,n,m] invJ[e,m,d]
-    gphys = (dN[None, :, :, :, None] * invJ[:, None, None, :, :]).sum(3)
+    nq = rule.points.shape[0]
+    if is_affine_cell(space.mesh.cell_type):
+        dN_geo = jnp.asarray(
+            geo.shape_grads(rule.points)[0], dtype)               # [npe, dim]
+        # J[e,d,m] = sum_n x[e,n,d] dN_geo[n,m]
+        J = (ecoords[:, :, :, None] * dN_geo[None, :, None, :]).sum(1)
+        invJ, det = _inv_and_det(J)
+        # gphys[e,q,n,d] = sum_m dN[q,n,m] invJ[e,m,d]
+        gphys = (dN[None, :, :, :, None] * invJ[:, None, None, :, :]).sum(3)
+        adet = jnp.broadcast_to(jnp.abs(det)[:, None],
+                                (ecoords.shape[0], nq))
+    else:
+        dN_geo = jnp.asarray(geo.shape_grads(rule.points), dtype)  # [Q,npe,m]
+        # J[e,q,d,m] = sum_n x[e,n,d] dN_geo[q,n,m]
+        J = (ecoords[:, None, :, :, None]
+             * dN_geo[None, :, :, None, :]).sum(2)
+        invJ, det = _inv_and_det(J)                    # [NE, Q, d, d]
+        # gphys[e,q,n,d] = sum_m dN[q,n,m] invJ[e,q,m,d]
+        gphys = (dN[None, :, :, :, None] * invJ[:, :, None, :, :]).sum(3)
+        adet = jnp.abs(det)
     # xq[e,q,d] = sum_n phi_geo[q,n] x[e,n,d]
     xq = (phi_geo[None, :, :, None] * ecoords[:, None, :, :]).sum(2)
-    return gphys, jnp.abs(det), xq
+    return gphys, adet, xq
 
 
 def _expand_vector_basis(phi, gphys, nc):
@@ -265,9 +286,9 @@ class WeakForm:
         res = self.lhs_expr.evaluate(ctx)
         ne, q = ecoords.shape[0], w.shape[0]
         res = jnp.broadcast_to(res, (nd, nd, ne, q))
-        # Ke[e,i(test)=b,j(trial)=a] = sum_q res[a,b,e,q] w[q] * |detJ|[e]
-        Ke = (res * w[None, None, None, :]).sum(-1)      # [A, B, NE]
-        return (Ke * adet[None, None, :]).transpose(2, 1, 0)
+        # Ke[e,i(test)=b,j(trial)=a] = sum_q res[a,b,e,q] w[q] |detJ|[e,q]
+        Ke = (res * (w[None, :] * adet)[None, None]).sum(-1)   # [A, B, NE]
+        return Ke.transpose(2, 1, 0)
 
     def element_vectors(self, ecoords):
         """be [NE, nd] with be[e, i] = L(phi_i) — the RHS assembly the
@@ -280,8 +301,8 @@ class WeakForm:
         res = self.rhs_expr.evaluate(ctx)
         ne, q = ecoords.shape[0], w.shape[0]
         res = jnp.broadcast_to(res, (1, nd, ne, q))[0]
-        be = (res * w[None, None, :]).sum(-1)            # [B, NE]
-        return (be * adet[None, :]).T
+        be = (res * (w[None, :] * adet)[None]).sum(-1)   # [B, NE]
+        return be.T
 
     # -- boundary (facet) kernels --------------------------------------------
 
@@ -470,7 +491,7 @@ def integrate(space: FunctionSpace, expr: Expr, *, quadrature=None,
     res = expr.evaluate(ctx)
     ne, q = ecoords.shape[0], w.shape[0]
     res = jnp.broadcast_to(res, (ne, q))
-    return (((res * w[None, :]).sum(1)) * adet).sum()
+    return (res * w[None, :] * adet).sum()
 
 
 def integrate_boundary(space: FunctionSpace, expr: Expr, *, quadrature=None,

@@ -22,7 +22,8 @@ import numpy as np
 
 from tpufem.mesh.core import Mesh, StructuredInfo
 
-__all__ = ["box_mesh", "unit_cube_mesh", "BoxMesh", "UnitCubeMesh"]
+__all__ = ["box_mesh", "unit_cube_mesh", "BoxMesh", "UnitCubeMesh",
+           "box_hex_mesh"]
 
 # The 6 Kuhn tets of the unit cube, as corner offsets (dz, dy, dx) per vertex.
 # Each tet is (v000, p1, p2, v111) where v000 -> p1 -> p2 -> v111 walks one
@@ -82,6 +83,58 @@ def box_mesh(
     )
     return Mesh(coords=coords, conn=conn, node_flags=flags.ravel(),
                 cell_type="tetrahedron", structured=info)
+
+
+# Q1Hex node order (fem.elements.Q1Hex, VTK convention) as (di, dj, dk)
+# grid offsets in the (z, y, x) node-grid axes: bottom face CCW, then top.
+_HEX_OFFSETS = np.array([
+    [0, 0, 0], [0, 0, 1], [0, 1, 1], [0, 1, 0],
+    [1, 0, 0], [1, 0, 1], [1, 1, 1], [1, 1, 0],
+], dtype=np.int64)
+
+
+def box_hex_mesh(
+    x0: float, x1: float, y0: float, y1: float, z0: float, z1: float,
+    nx: int, ny: int, nz: int,
+) -> Mesh:
+    """Structured HEXAHEDRAL mesh: same node numbering/flags as
+    :func:`box_mesh` but one trilinear Q1 cell per cube instead of the
+    six-Kuhn-tet split.  Isoparametric 3D element family beyond the
+    reference (P1 triangles only, /root/reference/fea_test.cu)."""
+    if min(nx, ny, nz) < 1:
+        raise ValueError("nx, ny, nz must be >= 1")
+    nx1, ny1, nz1 = nx + 1, ny + 1, nz + 1
+
+    xs = x0 + (x1 - x0) / nx * np.arange(nx1, dtype=np.float64)
+    ys = y0 + (y1 - y0) / ny * np.arange(ny1, dtype=np.float64)
+    zs = z0 + (z1 - z0) / nz * np.arange(nz1, dtype=np.float64)
+    Z, Y, X = np.meshgrid(zs, ys, xs, indexing="ij")
+    coords = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+
+    flags = np.zeros((nz1, ny1, nx1), dtype=np.int32)
+    flags[0, :, :] = 1
+    flags[-1, :, :] = 1
+    flags[:, 0, :] = 1
+    flags[:, -1, :] = 1
+    flags[:, :, 0] = 1
+    flags[:, :, -1] = 1
+
+    ii, jj, kk = np.meshgrid(
+        np.arange(nz, dtype=np.int64), np.arange(ny, dtype=np.int64),
+        np.arange(nx, dtype=np.int64), indexing="ij",
+    )
+    origins = np.stack([ii.ravel(), jj.ravel(), kk.ravel()], axis=1)
+    pos = origins[:, None, :] + _HEX_OFFSETS[None]      # [NC, 8, 3]
+    idx = (pos[..., 0] * ny1 + pos[..., 1]) * nx1 + pos[..., 2]
+    conn = idx.astype(np.int32)                          # [NC, 8]
+
+    info = StructuredInfo(
+        node_grid=(nz1, ny1, nx1),
+        cell_grid=(nz, ny, nx),
+        type_node_offsets=_HEX_OFFSETS[None].copy(),
+    )
+    return Mesh(coords=coords, conn=conn, node_flags=flags.ravel(),
+                cell_type="hexahedron", structured=info)
 
 
 def unit_cube_mesh(nx: int, ny: int, nz: int) -> Mesh:

@@ -48,11 +48,12 @@ class StructuredInfo:
 
 @dataclasses.dataclass
 class Mesh:
-    """An unstructured simplex mesh in SoA layout.
+    """An unstructured mesh in SoA layout.
 
-    ``cell_type`` is "triangle" (3 nodes) or "tetrahedron" (4 nodes).
-    ``structured`` carries optional regular-grid metadata (set by the
-    rectangle/box generators) unlocking index-free assembly fast paths.
+    ``cell_type`` is "triangle" (3 nodes), "tetrahedron" (4 nodes),
+    "quad" (4 nodes) or "hexahedron" (8 nodes).  ``structured`` carries
+    optional regular-grid metadata (set by the rectangle/box generators)
+    unlocking index-free assembly fast paths.
     """
 
     coords: np.ndarray        # [NN, dim] float64
@@ -69,7 +70,8 @@ class Mesh:
             raise ValueError(f"coords must be [NN, dim], got {self.coords.shape}")
         if self.conn.ndim != 2:
             raise ValueError(f"conn must be [NE, npe], got {self.conn.shape}")
-        expected_npe = {"triangle": 3, "tetrahedron": 4}[self.cell_type]
+        expected_npe = {"triangle": 3, "tetrahedron": 4,
+                        "quad": 4, "hexahedron": 8}[self.cell_type]
         if self.conn.shape[1] != expected_npe:
             raise ValueError(
                 f"{self.cell_type} mesh needs {expected_npe} nodes/element, "

@@ -92,8 +92,29 @@ def model_problem_3d_planes():
 
 # -- drivers -----------------------------------------------------------------
 
-def _rhs_and_bc(space: FunctionSpace, ecoords, f: Callable, rule, dtype):
-    be = element_load(ecoords, space.element, rule, f)
+def _poisson_local(space: FunctionSpace, ecoords, f: Callable, rule, dtype):
+    """(Ke [NE,n,n], be [NE,n]) of the Poisson form on any cell type.
+
+    Affine simplices take the closed-form P1 kernel; tensor-product cells
+    (quad/hex) route through the isoparametric WeakForm kernels, whose
+    geometry is evaluated per quadrature point (forms.weakform._geometry).
+    """
+    from tpufem.fem.elements import is_affine_cell
+
+    if is_affine_cell(space.mesh.cell_type):
+        Ke = p1_stiffness(ecoords, space.element)
+        be = element_load(ecoords, space.element, rule, f)
+        return Ke, be
+    from tpufem.forms.language import Coefficient, dot, grad
+    from tpufem.forms.weakform import WeakForm
+
+    wf = WeakForm(space, quadrature=rule, dtype=dtype).build(
+        lambda u, v: dot(grad(u), grad(v)),
+        lambda v: Coefficient(f) * v)
+    return wf.element_matrices(ecoords), wf.element_vectors(ecoords)
+
+
+def _rhs_and_bc(space: FunctionSpace, be):
     b = assemble_vector(space.dof_conn, be, space.num_dofs)
     bc_mask = jnp.asarray(space.dof_flags)
     return b, bc_mask
@@ -109,9 +130,9 @@ def solve_poisson_dense(mesh: Mesh, f: Optional[Callable] = None, *,
     rule = rule_for_cell(mesh.cell_type, 5 if mesh.dim == 2 else 3)
     ecoords = jnp.asarray(mesh.element_coords(), dtype)
 
-    Ke = p1_stiffness(ecoords, space.element)
+    Ke, be = _poisson_local(space, ecoords, f, rule, dtype)
     A = assemble_dense(space.dof_conn, Ke, space.num_dofs)
-    b, bc_mask = _rhs_and_bc(space, ecoords, f, rule, dtype)
+    b, bc_mask = _rhs_and_bc(space, be)
     A, b = apply_dirichlet_dense(A, b, bc_mask)
     res = cg(lambda x: A @ x, b, tol=tol, maxiter=maxiter)
     return PoissonSolution(u=res.x, cg=res, num_dofs=space.num_dofs)
@@ -158,9 +179,9 @@ def solve_poisson_ell(mesh: Mesh, f: Optional[Callable] = None, *,
     pattern = ell_pattern(space.dof_conn, space.num_dofs, pad_to=pad_to,
                           with_sort_plan=(assembly_method == "sort"))
 
-    Ke = p1_stiffness(ecoords, space.element)
+    Ke, be = _poisson_local(space, ecoords, f, rule, dtype)
     A = assemble_ell(pattern, Ke, method=assembly_method)
-    b, bc_mask = _rhs_and_bc(space, ecoords, f, rule, dtype)
+    b, bc_mask = _rhs_and_bc(space, be)
     A, b = apply_dirichlet_ell(A, b, bc_mask)
 
     if precond is not None and precond not in ("jacobi", "chebyshev", "amg"):
