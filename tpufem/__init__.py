@@ -55,4 +55,7 @@ def __getattr__(name):
     if name == "smallest_eigenpairs":
         from tpufem.solve.eigen import smallest_eigenpairs
         return smallest_eigenpairs
+    if name == "leapfrog_wave":
+        from tpufem.solve.dynamics import leapfrog_wave
+        return leapfrog_wave
     raise AttributeError(f"module 'tpufem' has no attribute {name!r}")
