@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 
 from tpufem.assemble.dense import assemble_vector
-from tpufem.assemble.ell import assemble_ell
 from tpufem.assemble.local import element_load, p1_stiffness
 from tpufem.fem.elements import P1Triangle
 from tpufem.fem.quadrature import triangle_rule
@@ -127,9 +126,18 @@ def main(argv=None):
     conn = jnp.asarray(mesh.conn)
     bc = jnp.asarray(mesh.node_flags != 0)
 
-    def build_fn(ec):
+    # All large arrays enter the jitted programs as ARGUMENTS, never by
+    # closure: a captured array is baked into the lowered HLO as a literal
+    # constant — at this scale that meant ~300 MB modules, 415 s lowering,
+    # and HTTP 413 from the axon compile relay (BENCH_NOTES r4).  As
+    # parameters they add only shapes to the module.
+    slots = jnp.asarray(pat.slots.reshape(-1))
+    width = pat.cols.shape[1]
+
+    def build_fn(ec, conn, slots):
+        from tpufem.assemble.ell import ell_values_scatter
         Ke = p1_stiffness(ec, element)
-        data = assemble_ell(pat, Ke).data
+        data = ell_values_scatter(slots, Ke, nn, width)
         be = element_load(ec, element, rule, f)
         b = assemble_vector(conn, be, nn)
         return data, b
@@ -140,12 +148,12 @@ def main(argv=None):
     from tpufem.utils.aot import CompiledCache
     aot = CompiledCache()
     t0 = time.perf_counter()
-    build = aot.get(build_fn, (ec,), tag="unstr_build")
-    data, b = build(ec)
+    build = aot.get(build_fn, (ec, conn, slots), tag="unstr_build")
+    data, b = build(ec, conn, slots)
     data.block_until_ready()
     t_build_wall = time.perf_counter() - t0
     t0 = time.perf_counter()
-    data, b = build(ec)
+    data, b = build(ec, conn, slots)
     data.block_until_ready()
     t_build = time.perf_counter() - t0
 
@@ -153,40 +161,58 @@ def main(argv=None):
     A = ELLMatrix(data, jnp.asarray(pat.cols),
                   diag_pos=jnp.asarray(pat.diag_pos))
     A, b = apply_dirichlet_ell(A, b, bc)
+    # resolve the banded Pallas plan NOW: A crosses the jit boundary as an
+    # argument below, where lazy resolution is no longer possible
+    A.resolve_band()
 
     t0 = time.perf_counter()
     if args.precond == "amg":
         from tpufem.solve.amg import build_amg
         hier = build_amg(A, aggregation=args.agg, cycle=args.cycle,
                          strength=args.strength)
-        M = hier.apply
         print(f"# AMG: levels {[lv.A.shape[0] for lv in hier.levels]}"
               f" + coarse {hier.coarse_inv.shape[0]}, operator complexity"
               f" {hier.operator_complexity:.2f}, {args.cycle}-cycle",
               file=sys.stderr)
+
+        def solve_fn(b, op):
+            A_, h = op
+            return cg(A_.matvec, b, tol=args.tol, maxiter=3000,
+                      M=h.apply, check_every=2)
+
+        # levels[0].A IS this A (same device buffers), so passing both
+        # costs no extra HBM; the pair keeps tiny meshes (zero levels,
+        # coarse-only hierarchies) working too
+        op = (A, hier)
     elif args.precond == "chebyshev":
         if args.lmax == "bound":
             lmax = lambda_max_bound(A)
         else:
             lmax = estimate_lambda_max(A.matvec, A.diagonal(), nn,
                                        dtype=A.dtype)
-        M = chebyshev(A.matvec, A.diagonal(), degree=args.degree,
-                      lmax=lmax)
+
+        def solve_fn(b, A_):
+            M = chebyshev(A_.matvec, A_.diagonal(), degree=args.degree,
+                          lmax=lmax)
+            return cg(A_.matvec, b, tol=args.tol, maxiter=3000, M=M,
+                      check_every=2)
+
+        op = A
     else:
-        M = jacobi(A)
+        def solve_fn(b, A_):
+            return cg(A_.matvec, b, tol=args.tol, maxiter=3000,
+                      M=jacobi(A_), check_every=2)
+
+        op = A
     t_precond = time.perf_counter() - t0
 
-    def solve_fn(b):
-        return cg(A.matvec, b, tol=args.tol, maxiter=3000, M=M,
-                  check_every=2)
-
     t0 = time.perf_counter()
-    solve = aot.get(solve_fn, (b,), tag="unstr_solve")
-    res = solve(b)
+    solve = aot.get(solve_fn, (b, op), tag="unstr_solve")
+    res = solve(b, op)
     res.x.block_until_ready()
     t_solve_wall = time.perf_counter() - t0
     t0 = time.perf_counter()
-    res = solve(b)
+    res = solve(b, op)
     res.x.block_until_ready()
     t_solve = time.perf_counter() - t0
 

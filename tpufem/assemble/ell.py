@@ -24,7 +24,21 @@ import jax.numpy as jnp
 from tpufem.mesh.adjacency import ELLPattern
 from tpufem.sparse.ell import ELLMatrix
 
-__all__ = ["assemble_ell", "ell_values"]
+__all__ = ["assemble_ell", "ell_values", "ell_values_scatter"]
+
+
+def ell_values_scatter(slots, element_matrices, num_rows: int, width: int):
+    """Functional core of ``ell_values(method="scatter")``.
+
+    Takes the flat slot indices as an ARRAY argument instead of reading
+    them off an :class:`ELLPattern`, so a jitted assembly can receive the
+    scatter plan as a runtime parameter — closure-capturing the plan bakes
+    ~70 MB of constants into the HLO at 2M elements (BENCH_NOTES r4).
+    """
+    vals = element_matrices.reshape(-1)
+    flat = jnp.zeros(num_rows * width, vals.dtype).at[
+        slots.reshape(-1)].add(vals)
+    return flat.reshape(num_rows, width)
 
 
 def ell_values(pattern: ELLPattern, element_matrices, method: str = "scatter"):

@@ -47,10 +47,15 @@ TPU-first design decisions:
   exact coarsest solve is a fixed symmetric positive definite operator,
   hence a valid CG preconditioner.
 
-Intended use: close a jitted solve over the concrete hierarchy
-(``M=hier.apply``) exactly like the other preconditioners — passing the
-hierarchy *through* a jit boundary would retrace its ELLMatrix leaves as
-tracers and lose the banded fast path.
+Intended use at scale: pass the hierarchy THROUGH the jit boundary as an
+argument (``solve(b, hier)`` with ``M=hier.apply`` inside).  AMGLevel /
+AMGHierarchy are registered pytrees whose scalar config rides aux_data and
+whose ELLMatrix leaves keep their banded Pallas plans across the boundary
+(sparse/ell.py pytree protocol), so the operators arrive as runtime
+parameters instead of being baked into the lowered HLO as constants —
+closure capture at 1M rows costs ~300 MB of module constants, minutes of
+lowering, and exceeds the compile relay's request limit (BENCH_NOTES r4).
+Closing over the hierarchy still works and is fine at small sizes.
 """
 from __future__ import annotations
 
@@ -274,12 +279,55 @@ class AMGHierarchy(NamedTuple):
     gamma: int = 1          # coarse visits per cycle: 1 = V-cycle, 2 = W
 
     def apply(self, r):
-        """z = V-cycle(r): SPD preconditioner application (close a jitted
-        solve over the concrete hierarchy; see module docstring)."""
+        """z = V-cycle(r): SPD preconditioner application.  Either close a
+        jitted solve over the concrete hierarchy, or — preferred at scale —
+        pass the hierarchy THROUGH the jit boundary as an argument (it is
+        a registered pytree whose static config rides aux_data): argument
+        operators stay out of the lowered HLO, closure operators are baked
+        in as constants (~100s of MB at 1M rows; BENCH_NOTES r4)."""
         return _vcycle(self, 0, r)
 
     def __call__(self, r):
         return self.apply(r)
+
+
+# Custom pytree registration (overrides the NamedTuple default): array
+# fields are children; scalar config is aux_data, so it stays STATIC when
+# a hierarchy crosses a jit boundary.  The defaults would turn `s` /
+# `gamma` / `smoother_degree` into tracers — all three drive Python-level
+# control flow (reshape sizes, recursion depth, loop trip counts) and must
+# be compile-time constants; `lmax`/`omega`/ratios fold into the Chebyshev
+# coefficients on the host.
+def _amg_level_flatten(lv: AMGLevel):
+    children = (lv.A, lv.inv_diag, lv.p_data, lv.p_cols, lv.r_data,
+                lv.r_cols, lv.tv, lv.Qp, lv.Qr, lv.emb, lv.Rop, lv.Pop)
+    return children, (lv.s, lv.lmax, lv.omega)
+
+
+def _amg_level_unflatten(aux, ch):
+    s, lmax, omega = aux
+    return AMGLevel(A=ch[0], inv_diag=ch[1], lmax=lmax, p_data=ch[2],
+                    p_cols=ch[3], r_data=ch[4], r_cols=ch[5], s=s,
+                    tv=ch[6], omega=omega, Qp=ch[7], Qr=ch[8], emb=ch[9],
+                    Rop=ch[10], Pop=ch[11])
+
+
+def _amg_hier_flatten(h: AMGHierarchy):
+    return ((h.levels, h.coarse_inv),
+            (h.smoother_degree, h.smoother_ratio, h.operator_complexity,
+             h.gamma))
+
+
+def _amg_hier_unflatten(aux, ch):
+    return AMGHierarchy(levels=ch[0], coarse_inv=ch[1],
+                        smoother_degree=aux[0], smoother_ratio=aux[1],
+                        operator_complexity=aux[2], gamma=aux[3])
+
+
+jax.tree_util.register_pytree_node(AMGLevel, _amg_level_flatten,
+                                   _amg_level_unflatten)
+jax.tree_util.register_pytree_node(AMGHierarchy, _amg_hier_flatten,
+                                   _amg_hier_unflatten)
 
 
 def _prime_wide(M: ELLMatrix, cols_np):

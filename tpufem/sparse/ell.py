@@ -45,21 +45,40 @@ class ELLMatrix:
         self.row_lengths = row_lengths
         self.diag_pos = diag_pos
         # banded fast-path cache: (plan, data_dev, rel_dev) | None once
-        # resolved; "unresolved" until first matvec.  Not part of the
-        # pytree — instances reconstructed inside a jit trace fall back to
-        # the gather path (their arrays are tracers; the usual solve
-        # pattern captures a concrete ELLMatrix by closure, which hits the
-        # fast path).
+        # resolved; "unresolved" until first matvec.
         self._band = "unresolved"
 
     # -- pytree protocol ---------------------------------------------------
+    # The banded plan splits across the pytree protocol: its DEVICE ARRAYS
+    # (data_t, rel) are children — so an ELLMatrix passed as a jit ARGUMENT
+    # keeps the Pallas fast path with the arrays arriving as runtime
+    # parameters — while the static metadata (block size, delta lists,
+    # segmentation) rides aux_data, which jit hashes into its dispatch key.
+    # This is what keeps big operators OUT of the lowered HLO: a
+    # closure-captured ELLMatrix bakes ~100 MB of constants into the
+    # module (415 s lowering / HTTP 413 over the compile relay at 1M rows,
+    # BENCH_NOTES r4); the same matrix as an argument adds ~nothing.
     def tree_flatten(self):
-        children = (self.data, self.cols, self.row_lengths, self.diag_pos)
-        return children, None
+        band = self._band
+        if isinstance(band, tuple):
+            plan, data_dev, rel_dev = band
+            static_plan = plan._replace(rel=None, data_t=None, dtab=None)
+            children = (self.data, self.cols, self.row_lengths,
+                        self.diag_pos, (data_dev, rel_dev))
+            return children, static_plan
+        children = (self.data, self.cols, self.row_lengths, self.diag_pos,
+                    None)
+        return children, band                 # None | "unresolved"
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        data, cols, row_lengths, diag_pos, band_arrays = children
+        obj = cls(data, cols, row_lengths, diag_pos)
+        if isinstance(aux, tuple) and hasattr(aux, "block_rows"):
+            obj._band = (aux, band_arrays[0], band_arrays[1])
+        else:
+            obj._band = aux                   # None | "unresolved"
+        return obj
 
     # -- shapes ---------------------------------------------------------------
     @property
@@ -104,6 +123,15 @@ class ELLMatrix:
         except Exception:
             self._band = None     # any failure -> permanent gather fallback
         return self._band
+
+    def resolve_band(self):
+        """Resolve the banded fast path NOW under the automatic policy
+        (builds the plan iff bandwidth <= _AUTO_BAND_MAX and dispatch is
+        enabled).  Call before passing the matrix THROUGH a jit boundary:
+        inside the trace the arrays are tracers and lazy resolution can no
+        longer happen, so an unresolved matrix would ride the gather."""
+        self._resolve_band()
+        return self
 
     def prime_band_plan(self, block_rows=None):
         """Build + cache the banded Pallas plan UNCONDITIONALLY.
