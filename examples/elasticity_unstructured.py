@@ -37,6 +37,10 @@ def main(argv=None):
                     default="pallas")
     ap.add_argument("--interpret", action="store_true",
                     help="CPU smoke test (timings meaningless)")
+    ap.add_argument("--no-aot", action="store_true",
+                    help="skip the executable cache (utils/aot.py); the "
+                    "cold Mosaic compile of the banded block programs "
+                    "costs minutes at 1M DOFs")
     args = ap.parse_args(argv)
     if args.interpret:
         import jax
@@ -57,7 +61,7 @@ def main(argv=None):
         mesh, lam=args.lam, mu=args.mu, body_force=body_force,
         dtype=jnp.float32, tol=args.tol, maxiter=3000,
         matvec=args.matvec, precond=args.precond,
-        interpret=args.interpret)
+        interpret=args.interpret, aot=not args.no_aot)
     t_total = time.perf_counter() - t0
 
     out = {
@@ -70,8 +74,13 @@ def main(argv=None):
         "pcg_iters": int(sol.cg.iterations),
         "relres": float(sol.cg.residual_norm),
         "converged": bool(sol.cg.converged),
+        "solve_ms": round(sol.walls.get("solve", 0.0) * 1e3, 2),
+        "dofs_per_sec": round(sol.space.num_dofs
+                              / max(sol.walls.get("solve", 0.0), 1e-9), 1),
         "walls_s": {"mesh": round(t_mesh, 2),
-                    "assemble_setup_solve": round(t_total, 2)},
+                    "total": round(t_total, 2),
+                    **{k: (round(v, 2) if isinstance(v, float) else v)
+                       for k, v in sol.walls.items()}},
     }
     print(json.dumps(out))
     if not bool(sol.cg.converged):

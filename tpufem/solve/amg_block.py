@@ -251,12 +251,49 @@ class BlockAMGHierarchy(NamedTuple):
     gamma: int = 1
 
     def apply(self, r):
-        """z = cycle(r): SPD preconditioner application (close a jitted
-        solve over the concrete hierarchy, as with solve/amg.py)."""
+        """z = cycle(r): SPD preconditioner application.  Either close a
+        jitted solve over the concrete hierarchy, or — preferred at scale
+        — pass the hierarchy THROUGH the jit boundary as an argument:
+        closure-captured arrays are baked into the lowered HLO as literal
+        constants (~100s of MB at 1M DOFs, minutes of lowering; BENCH_NOTES
+        r4), argument arrays add only shapes."""
         return _block_cycle(self, 0, r)
 
     def __call__(self, r):
         return self.apply(r)
+
+
+# Custom pytree registration (overrides the NamedTuple default): array
+# fields are children; scalar config is aux_data so it stays STATIC when
+# a hierarchy crosses a jit boundary — `lmax` feeds the host-side
+# Chebyshev coefficients, `gamma`/`smoother_degree` drive Python-level
+# recursion/loop trip counts (mirrors solve/amg.py's registration).
+def _blk_level_flatten(lv: BlockAMGLevel):
+    return ((lv.A, lv.inv_diag, lv.p_data, lv.p_cols, lv.r_data,
+             lv.r_cols), lv.lmax)
+
+
+def _blk_level_unflatten(lmax, ch):
+    return BlockAMGLevel(A=ch[0], inv_diag=ch[1], lmax=lmax, p_data=ch[2],
+                         p_cols=ch[3], r_data=ch[4], r_cols=ch[5])
+
+
+def _blk_hier_flatten(h: BlockAMGHierarchy):
+    return ((h.levels, h.coarse_inv),
+            (h.smoother_degree, h.smoother_ratio, h.operator_complexity,
+             h.gamma))
+
+
+def _blk_hier_unflatten(aux, ch):
+    return BlockAMGHierarchy(levels=ch[0], coarse_inv=ch[1],
+                             smoother_degree=aux[0], smoother_ratio=aux[1],
+                             operator_complexity=aux[2], gamma=aux[3])
+
+
+jax.tree_util.register_pytree_node(BlockAMGLevel, _blk_level_flatten,
+                                   _blk_level_unflatten)
+jax.tree_util.register_pytree_node(BlockAMGHierarchy, _blk_hier_flatten,
+                                   _blk_hier_unflatten)
 
 
 def _bdinv_apply(inv_diag, r):

@@ -34,6 +34,7 @@ class ElasticitySolution(NamedTuple):
     cg: CGResult
     space: FunctionSpace
     A: BCSRMatrix
+    walls: dict = {}           # phase walls (seconds), filled by the driver
 
 
 def elasticity_forms(V: FunctionSpace, lam: float, mu: float,
@@ -60,7 +61,8 @@ def solve_elasticity(mesh: Mesh, *, lam: float = 1.0, mu: float = 1.0,
                      tol: float = 1e-10, maxiter: int = 20_000,
                      matvec: str = "gather", block_rows: int = 1024,
                      precond: Optional[str] = None,
-                     interpret: bool = False) -> ElasticitySolution:
+                     interpret: bool = False,
+                     aot: bool = False) -> ElasticitySolution:
     """Assemble + solve the elasticity system with preconditioned CG.
 
     ``body_force``: callable x[..., dim] -> f[..., dim] (or None for f = 0).
@@ -72,7 +74,18 @@ def solve_elasticity(mesh: Mesh, *, lam: float = 1.0, mu: float = 1.0,
     ``precond``: None/"jacobi" = block-Jacobi (iterations grow with the
     mesh); "amg" = rigid-body-mode block smoothed aggregation
     (solve.amg_block — mesh-robust iteration counts).
+
+    The CG program receives the operator (banded-plan arrays / BCSR
+    hierarchy) THROUGH the jit boundary as pytree arguments — closure
+    capture bakes the arrays into the lowered HLO as literal constants
+    (~100s of MB at 1M DOFs, minutes of lowering; BENCH_NOTES r4).
+    ``aot=True`` routes the solve through the executable cache
+    (utils.aot.CompiledCache).  Phase walls land in ``solution.walls``.
     """
+    import time
+
+    walls: dict = {}
+    t0 = time.perf_counter()
     V = VectorFunctionSpace(mesh, degree=1)
     wf = elasticity_forms(V, lam, mu, body_force)
     wf.dtype = dtype
@@ -92,6 +105,25 @@ def solve_elasticity(mesh: Mesh, *, lam: float = 1.0, mu: float = 1.0,
 
     mask = jnp.asarray(V.dof_flags)
     A2, b2 = apply_dirichlet_bcsr(A, b, mask, bc_values)
+    jax.block_until_ready(A2.data)
+    walls["assemble"] = time.perf_counter() - t0
+
+    def _timed_solve(solve_fn, args, tag):
+        """Compile (AOT cache optional), then run; record both walls."""
+        t0 = time.perf_counter()
+        if aot:
+            from tpufem.utils.aot import CompiledCache
+            cache = CompiledCache()
+            compiled = cache.get(solve_fn, args, tag=tag)
+            walls["aot_cache"] = cache.stats.get(tag)
+        else:
+            compiled = jax.jit(solve_fn).lower(*args).compile()
+        walls["solve_compile"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = compiled(*args)
+        jax.block_until_ready(res.x)
+        walls["solve"] = time.perf_counter() - t0
+        return res
 
     if matvec == "pallas":
         import numpy as np
@@ -100,6 +132,7 @@ def solve_elasticity(mesh: Mesh, *, lam: float = 1.0, mu: float = 1.0,
         from tpufem.sparse.ell_pallas import (bcsr_band_plan,
                                               bcsr_matvec_pallas)
 
+        t0 = time.perf_counter()
         nb = V.num_components
         cols_np = np.asarray(A2.cols)
         perm = reverse_cuthill_mckee(cols_np)
@@ -119,10 +152,7 @@ def solve_elasticity(mesh: Mesh, *, lam: float = 1.0, mu: float = 1.0,
                                  axis=1)]                    # [NR, b, b]
         inv_blocks = jnp.asarray(np.moveaxis(
             np.linalg.inv(diagb), 0, -1))                    # [b, b, NR]
-
-        def mv(x):
-            return bcsr_matvec_pallas(plan, d_dev, r_dev, x,
-                                      interpret=interpret)
+        walls["band_plan"] = time.perf_counter() - t0
 
         if precond == "amg":
             # hierarchy over the RCM-permuted system (min-index-numbered
@@ -130,32 +160,70 @@ def solve_elasticity(mesh: Mesh, *, lam: float = 1.0, mu: float = 1.0,
             # the cycle works in node-major layout, the banded CG in
             # component-major — two cheap relayouts per application
             from tpufem.solve.amg_block import build_block_amg
+            t0 = time.perf_counter()
             hier = build_block_amg(
                 BCSRMatrix(jnp.asarray(data_p), jnp.asarray(cols_p)),
                 coords=np.asarray(mesh.coords)[perm])
+            walls["precond_setup"] = time.perf_counter() - t0
 
-            def M(r_cm):
-                z = hier.apply(r_cm.T.reshape(-1))
-                return z.reshape(-1, nb).T
+            def solve_fn(b_cm, op):
+                dd, rd, h = op
+
+                def mv(x):
+                    return bcsr_matvec_pallas(plan, dd, rd, x,
+                                              interpret=interpret)
+
+                def M(r_cm):
+                    z = h.apply(r_cm.T.reshape(-1))
+                    return z.reshape(-1, nb).T
+
+                return cg(mv, b_cm, tol=tol, maxiter=maxiter, M=M)
+
+            op = (d_dev, r_dev, hier)
         elif precond in (None, "jacobi"):
-            def M(r):
-                return (inv_blocks * r[None]).sum(axis=1)
+            def solve_fn(b_cm, op):
+                dd, rd, invb = op
+
+                def mv(x):
+                    return bcsr_matvec_pallas(plan, dd, rd, x,
+                                              interpret=interpret)
+
+                def M(r):
+                    return (invb * r[None]).sum(axis=1)
+
+                return cg(mv, b_cm, tol=tol, maxiter=maxiter, M=M)
+
+            op = (d_dev, r_dev, inv_blocks)
         else:
             raise ValueError(f"unknown precond {precond!r}")
 
-        res = cg(mv, b_cm, tol=tol, maxiter=maxiter, M=M)
+        res = _timed_solve(solve_fn, (b_cm, op),
+                           f"elast_{precond or 'jacobi'}_pallas")
         u_nm = np.asarray(res.x).T[inv].reshape(-1)          # original order
         return ElasticitySolution(u=jnp.asarray(u_nm), cg=res, space=V,
-                                  A=A2)
+                                  A=A2, walls=walls)
 
     if precond == "amg":
         import numpy as np
 
         from tpufem.solve.amg_block import build_block_amg
-        M = build_block_amg(A2, coords=np.asarray(mesh.coords)).apply
+        t0 = time.perf_counter()
+        hier = build_block_amg(A2, coords=np.asarray(mesh.coords))
+        walls["precond_setup"] = time.perf_counter() - t0
+
+        def solve_fn(b2, op):
+            A_, h = op
+            return cg(A_.matvec, b2, tol=tol, maxiter=maxiter, M=h.apply)
+
+        op = (A2, hier)
     elif precond in (None, "jacobi"):
-        M = block_jacobi(A2.diagonal_blocks())
+        def solve_fn(b2, A_):
+            return cg(A_.matvec, b2, tol=tol, maxiter=maxiter,
+                      M=block_jacobi(A_.diagonal_blocks()))
+
+        op = A2
     else:
         raise ValueError(f"unknown precond {precond!r}")
-    res = cg(A2.matvec, b2, tol=tol, maxiter=maxiter, M=M)
-    return ElasticitySolution(u=res.x, cg=res, space=V, A=A2)
+    res = _timed_solve(solve_fn, (b2, op),
+                       f"elast_{precond or 'jacobi'}_gather")
+    return ElasticitySolution(u=res.x, cg=res, space=V, A=A2, walls=walls)
