@@ -463,3 +463,46 @@ def test_interval_amg_on_p2_system(monkeypatch):
     assert bool(ref.converged)
     scale = float(np.abs(np.asarray(ref.x)).max())
     assert np.abs(np.asarray(res.x) - np.asarray(ref.x)).max() < 1e-6 * scale
+
+
+def test_build_amg_resolves_band_plans_at_setup(monkeypatch):
+    """Every hierarchy matrix must leave build_amg with its banded plan
+    RESOLVED (round-4 hardware regression): the hierarchy crosses jit
+    boundaries as a pytree argument, where cols are tracers and the lazy
+    auto-dispatch can no longer measure the bandwidth — an unresolved
+    matrix then silently rides the ~500x-slower gather inside every
+    cycle (measured: 472 ms/V-cycle at 1M rows vs ~1.5 ms of banded
+    work, /tmp/amg_ab_r4.log phase5b).  Simulated TPU backend: plan
+    CONSTRUCTION is host-side and backend-independent; nothing here
+    executes a kernel."""
+    import jax
+
+    import tpufem.solve.amg as amg_mod
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    _, A, b, _ = _system(40)
+
+    hb = build_amg(A, coarse_n=120, aggregation="greedy",
+                   transfer="banded", strength=0.08)
+    for lv in hb.levels:
+        assert isinstance(lv.A._band, tuple), "level operator unresolved"
+        assert isinstance(lv.Qp._band, tuple), "embedded P unresolved"
+        assert isinstance(lv.Qr._band, tuple), "embedded P^T unresolved"
+
+    hi = build_amg(A, coarse_n=120, aggregation="interval")
+    for lv in hi.levels:
+        assert isinstance(lv.A._band, tuple)
+        if lv.Rop is not None:
+            assert isinstance(lv.Rop._band, tuple)
+            assert isinstance(lv.Pop._band, tuple)
+
+    # TPUFEM_BAND_DISPATCH=0 still pins everything to the gather (fresh
+    # matrix: the builds above resolved and cached A's own plan in place)
+    monkeypatch.setenv("TPUFEM_BAND_DISPATCH", "0")
+    from tpufem.sparse.ell import ELLMatrix
+    A0 = ELLMatrix(A.data, A.cols)
+    hg = build_amg(A0, coarse_n=120, aggregation="greedy",
+                   transfer="banded")
+    for lv in hg.levels:
+        assert lv.A._band in (None, "unresolved")
+        assert lv.Qp._band in (None, "unresolved")

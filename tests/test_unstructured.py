@@ -97,8 +97,9 @@ def test_unstructured_100k_dofs():
 
 
 def test_solve_poisson_ell_amg_one_call():
-    """The one-call API: unstructured mesh -> RCM -> banded-SpMV CG with the
-    interval-W AMG preconditioner (solve.poisson precond="amg")."""
+    """The one-call API: unstructured mesh -> RCM -> banded-SpMV CG with
+    the default AMG preconditioner (solve.poisson precond="amg" =
+    strength-filtered greedy SA V-cycle, the round-4 measured config)."""
     from tpufem.solve.poisson import solve_poisson_ell
 
     f, exact = model_problem_2d()

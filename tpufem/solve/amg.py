@@ -331,13 +331,25 @@ jax.tree_util.register_pytree_node(AMGHierarchy, _amg_hier_flatten,
 
 
 def _prime_wide(M: ELLMatrix, cols_np):
-    """Prime M's banded Pallas plan when its bandwidth exceeds the
-    auto-dispatch cap (which would otherwise silently ride the ~500x
-    slower gather).  Honors the TPUFEM_BAND_DISPATCH=0 escape.  TPU
-    only: on other backends the banded kernel runs interpreted (~30x
-    slower than the gather it would replace)."""
+    """Resolve M's banded Pallas plan NOW — wide bands included.
+
+    Every hierarchy matrix must have its plan built at SETUP time: the
+    hierarchy crosses jit boundaries as a pytree argument (BENCH_NOTES
+    r4), and inside the trace cols are tracers, so the lazy auto-dispatch
+    can no longer measure the bandwidth and silently rides the ~500x
+    slower gather.  That was the round-4 hardware pathology (472 ms per
+    V-cycle at 1M rows vs ~1.5 ms of banded SpMV work): Qp/Qr and the
+    coarse operators sit UNDER the auto cap, were skipped by the old
+    over-cap-only priming, and hit the tracer fallback every cycle.
+
+    Under-cap matrices resolve via the automatic policy; over-cap ones
+    are primed unconditionally.  Honors the TPUFEM_BAND_DISPATCH=0
+    escape.  TPU only: on other backends the banded kernel runs
+    interpreted (~30x slower than the gather it would replace)."""
     import os as _os
     from tpufem.sparse.ell import _AUTO_BAND_MAX
+    if M._band != "unresolved":
+        return                    # caller already primed/pinned
     if _os.environ.get("TPUFEM_BAND_DISPATCH", "1") == "0":
         return
     if jax.default_backend() != "tpu":
@@ -350,6 +362,8 @@ def _prime_wide(M: ELLMatrix, cols_np):
             M.prime_band_plan()
         except Exception:
             pass                  # fall back to gather (still correct)
+    else:
+        M.resolve_band()
 
 
 def _diag_of(data, cols):
@@ -589,11 +603,11 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
         Adev = fine_A if fine_A is not None else ELLMatrix(
             jnp.asarray(data.astype(dtype)),
             jnp.asarray(cols.astype(np.int32)))
-        if fine_A is None:
-            # a coarse level past the auto-dispatch bandwidth cap would
-            # silently ride the ~500x-slower gather every cycle: prime
-            # its banded plan explicitly (covers any bandwidth)
-            _prime_wide(Adev, cols)
+        # resolve every level operator's banded plan at setup time (the
+        # finest included — idempotent if the caller already primed it):
+        # lazy resolution is impossible once the hierarchy crosses a jit
+        # boundary as an argument (see _prime_wide)
+        _prime_wide(Adev, cols)
         fine_A = None
         if aggregation == "interval":
             # transfers applied matrix-free (repeat/reshape + banded SpMV).

@@ -155,9 +155,15 @@ def solve_poisson_ell(mesh: Mesh, f: Optional[Callable] = None, *,
     on a v5e; the solution is returned in original node order.
 
     ``precond``: "jacobi" | "chebyshev" (degree-14 polynomial Jacobi,
-    Gershgorin lmax) | "amg" (interval-aggregation W-cycle,
-    solve.amg — mesh-robust iteration counts).  Defaults to the legacy
-    ``precondition`` bool (Jacobi).  "amg" implies the RCM-reordered
+    Gershgorin lmax) | "amg" (strength-filtered greedy SA V-cycle with
+    banded-embedded transfers, solve.amg — mesh-robust iteration
+    counts).  Defaults to the legacy ``precondition`` bool (Jacobi).
+    For end-to-end solve time at ~1M rows on a v5e, "chebyshev" is the
+    measured winner (551 ms vs AMG's 12.3 s despite 26-vs-244
+    iterations — each multi-level cycle costs ~40 banded-SpMV
+    dispatches; round-4 hardware A/B in BENCH_NOTES.md); "amg" wins
+    when iteration count is the budget (ill-conditioned, anisotropic,
+    or high-order operators).  "amg" implies the RCM-reordered
     path (its interval aggregation requires band ordering), regardless
     of ``matvec``.  With "amg"/"chebyshev" the pallas path iterates on
     an ELLMatrix whose banded plan is primed explicitly (honoring
@@ -193,8 +199,14 @@ def solve_poisson_ell(mesh: Mesh, f: Optional[Callable] = None, *,
 
     def _build_M(Ap):
         if precond == "amg":
+            # Measured default (round-4 hardware A/B, BENCH_NOTES): greedy
+            # strength-filtered SA with banded-embedded transfers — the only
+            # AMG config that both converges mesh-independently (26 iters at
+            # 1M rows) and runs clean on the chip.  interval-W faulted on
+            # TPU at 1M rows and is opt-in via build_amg directly.
             from tpufem.solve.amg import build_amg
-            return build_amg(Ap, aggregation="interval", cycle="W").apply
+            return build_amg(Ap, aggregation="greedy", strength=0.08,
+                             cycle="V").apply
         if precond == "chebyshev":
             from tpufem.solve.precond import chebyshev, lambda_max_bound
             return chebyshev(Ap.matvec, Ap.diagonal(), degree=14,
