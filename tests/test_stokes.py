@@ -1,0 +1,184 @@
+"""MINRES + Taylor-Hood Stokes: indefinite solver and mixed-element family.
+
+The reference binds one space and one (trial, test) pair
+(/root/reference/fea_symbolic.cu:196-260) — no mixed spaces, no indefinite
+solver.  These tests pin the saddle-point path: MINRES against dense
+ground truth, then Stokes against a manufactured divergence-free solution
+(velocity O(h^3) in the DOF-RMS norm for P2).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpufem.mesh.rectangle import rectangle_mesh
+from tpufem.solve.minres import minres
+from tpufem.solve.stokes import build_stokes, solve_stokes
+
+pytestmark = pytest.mark.fast
+
+
+# ---------------------------------------------------------------------------
+# MINRES
+# ---------------------------------------------------------------------------
+
+def _sym_indefinite(n, seed=0):
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    # eigenvalues on both sides of zero -> genuinely indefinite
+    lam = np.concatenate([np.linspace(1.0, 10.0, n - n // 3),
+                          -np.linspace(1.0, 4.0, n // 3)])
+    return (Q * lam) @ Q.T
+
+
+def test_minres_indefinite_matches_dense():
+    A = _sym_indefinite(60)
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal(60)
+    x_ref = np.linalg.solve(A, b)
+    Aj = jnp.asarray(A)
+    res = minres(lambda x: Aj @ x, jnp.asarray(b), tol=1e-12, maxiter=400)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-8,
+                               atol=1e-8)
+
+
+def test_minres_preconditioned_spd_matches_cg_answer():
+    rng = np.random.default_rng(2)
+    n = 80
+    M = rng.standard_normal((n, n))
+    A = M @ M.T + n * np.eye(n)
+    b = rng.standard_normal(n)
+    x_ref = np.linalg.solve(A, b)
+    d = jnp.asarray(1.0 / np.diag(A))
+    Aj = jnp.asarray(A)
+    res = minres(lambda x: Aj @ x, jnp.asarray(b), tol=1e-12, maxiter=300,
+                 M=lambda r: d * r)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-8,
+                               atol=1e-8)
+
+
+def test_minres_check_every_batches_match():
+    A = _sym_indefinite(40, seed=3)
+    b = np.random.default_rng(4).standard_normal(40)
+    Aj = jnp.asarray(A)
+    r1 = minres(lambda x: Aj @ x, jnp.asarray(b), tol=1e-10, maxiter=300)
+    r4 = minres(lambda x: Aj @ x, jnp.asarray(b), tol=1e-10, maxiter=300,
+                check_every=4)
+    assert bool(r1.converged) and bool(r4.converged)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r4.x),
+                               rtol=1e-7, atol=1e-7)
+
+
+def test_minres_jittable():
+    A = _sym_indefinite(30, seed=5)
+    b = np.random.default_rng(6).standard_normal(30)
+    Aj = jnp.asarray(A)
+
+    @jax.jit
+    def run(b):
+        return minres(lambda x: Aj @ x, b, tol=1e-10, maxiter=200)
+
+    res = run(jnp.asarray(b))
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b),
+                               rtol=1e-7, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Stokes (Taylor-Hood)
+# ---------------------------------------------------------------------------
+
+def _manufactured():
+    """Divergence-free u = curl psi with psi = (x(1-x)y(1-y))^2, plus a
+    cubic pressure; f = -nu lap(u) + grad p derived symbolically."""
+    sympy = pytest.importorskip("sympy")
+    x, y = sympy.symbols("x y")
+    psi = (x * (1 - x) * y * (1 - y)) ** 2
+    u0 = sympy.diff(psi, y)
+    u1 = -sympy.diff(psi, x)
+    p = x ** 3 + y ** 3 - sympy.Rational(1, 2)
+    nu = 1.0
+    f0 = -nu * (sympy.diff(u0, x, 2) + sympy.diff(u0, y, 2)) + sympy.diff(p, x)
+    f1 = -nu * (sympy.diff(u1, x, 2) + sympy.diff(u1, y, 2)) + sympy.diff(p, y)
+    fu0 = sympy.lambdify((x, y), u0, "numpy")
+    fu1 = sympy.lambdify((x, y), u1, "numpy")
+    fp = sympy.lambdify((x, y), p, "numpy")
+    ff0 = sympy.lambdify((x, y), f0, "numpy")
+    ff1 = sympy.lambdify((x, y), f1, "numpy")
+
+    def u_exact(X):
+        return np.stack([fu0(X[..., 0], X[..., 1]),
+                         fu1(X[..., 0], X[..., 1])], axis=-1)
+
+    def p_exact(X):
+        return fp(X[..., 0], X[..., 1])
+
+    def body_force(X):
+        return np.stack([ff0(X[..., 0], X[..., 1]),
+                         ff1(X[..., 0], X[..., 1])], axis=-1)
+
+    return u_exact, p_exact, body_force
+
+
+def _solve_on(n):
+    u_exact, p_exact, body_force = _manufactured()
+    mesh = rectangle_mesh(0.0, 1.0, 0.0, 1.0, n, n)
+    sol = solve_stokes(mesh, body_force=body_force, tol=1e-10,
+                       maxiter=4000)
+    assert bool(sol.res.converged), int(sol.res.iterations)
+    Xv = sol.V.scalar_dof_coords
+    ue = u_exact(Xv).reshape(-1)
+    u = np.asarray(sol.u)
+    err_u = np.sqrt(np.mean((u - ue) ** 2)) / np.sqrt(np.mean(ue ** 2))
+    Xp = sol.Q.scalar_dof_coords
+    pe = p_exact(Xp)
+    pe = pe - pe.mean()
+    p = np.asarray(sol.p)
+    p = p - p.mean()
+    err_p = np.sqrt(np.mean((p - pe) ** 2)) / np.sqrt(np.mean(pe ** 2))
+    return err_u, err_p, sol
+
+
+def test_stokes_manufactured_convergence():
+    eu8, ep8, _ = _solve_on(8)
+    eu16, ep16, _ = _solve_on(16)
+    # P2 velocity: O(h^3) -> ratio ~8; P1 pressure: O(h^2) -> ratio ~4
+    assert eu8 / eu16 > 5.0, (eu8, eu16)
+    assert ep8 / ep16 > 2.5, (ep8, ep16)
+    assert eu16 < 2e-3
+    assert ep16 < 2e-2
+
+
+def test_stokes_discrete_divergence_free():
+    """B u ~ 0 at convergence: the discrete incompressibility constraint."""
+    _, _, sol = _solve_on(8)
+    mesh = rectangle_mesh(0.0, 1.0, 0.0, 1.0, 8, 8)
+    op, V, Q = build_stokes(mesh)
+    div = np.asarray(op.apply_b(sol.u))
+    div = div - div.mean()
+    bnorm = np.linalg.norm(div) / max(np.linalg.norm(np.asarray(sol.u)), 1e-30)
+    assert bnorm < 1e-8, bnorm
+
+
+def test_stokes_lid_driven_cavity_sanity():
+    """Regularized lid: converged, top-layer flow follows the lid, interior
+    develops the recirculation (somewhere u_x < 0 below the lid)."""
+    mesh = rectangle_mesh(0.0, 1.0, 0.0, 1.0, 12, 12)
+
+    def lid(X):
+        # u_x = x^2 (1-x)^2 * 16 on the top edge, 0 elsewhere; u_y = 0
+        on_top = (np.abs(X[..., 1] - 1.0) < 1e-12).astype(float)
+        profile = 16.0 * (X[..., 0] * (1 - X[..., 0])) ** 2
+        return np.stack([on_top * profile, 0.0 * X[..., 0]], axis=-1)
+
+    sol = solve_stokes(mesh, bc_velocity=lid, tol=1e-9, maxiter=4000)
+    assert bool(sol.res.converged)
+    u = np.asarray(sol.u).reshape(-1, 2)
+    X = sol.V.scalar_dof_coords
+    top = np.abs(X[:, 1] - 1.0) < 1e-12
+    assert np.max(u[top, 0]) > 0.9          # lid profile imposed (max ~1)
+    mid = (X[:, 1] > 0.3) & (X[:, 1] < 0.75) & ~top
+    assert np.min(u[mid, 0]) < -1e-3        # recirculation below the lid

@@ -58,4 +58,10 @@ def __getattr__(name):
     if name == "leapfrog_wave":
         from tpufem.solve.dynamics import leapfrog_wave
         return leapfrog_wave
+    if name == "solve_stokes":
+        from tpufem.solve.stokes import solve_stokes
+        return solve_stokes
+    if name == "minres":
+        from tpufem.solve.minres import minres
+        return minres
     raise AttributeError(f"module 'tpufem' has no attribute {name!r}")
