@@ -160,3 +160,43 @@ def test_solve_elasticity_amg_api():
                   - np.asarray(sol_bj.u)).max() < 1e-6 * scale
     with pytest.raises(ValueError):
         solve_elasticity(mesh, precond="nope")
+
+
+def test_block_amg_resolves_band_plans_at_setup(monkeypatch):
+    """Block twin of test_amg.py::test_build_amg_resolves_band_plans_at_
+    setup (round-4 hardware regression): every level operator must leave
+    build_block_amg with its banded BCSR plan RESOLVED — the hierarchy
+    crosses jit boundaries as a pytree argument where cols are tracers,
+    and an unresolved matrix silently rides the gather matvec inside
+    every cycle (measured 140 ms/PCG-iter vs 0.41 ms banded SpMVs at
+    982k DOFs, /tmp/amg_ab_r4.log phases 6b/7b).  Fake TPU backend: plan
+    construction is host-side; execution below runs interpreted."""
+    import jax
+
+    mesh, A, b = _system(12)
+    with monkeypatch.context() as m:
+        m.setattr(jax, "default_backend", lambda: "tpu")
+        hier = build_block_amg(A, coords=np.asarray(mesh.coords),
+                               coarse_n=60)
+    assert len(hier.levels) >= 1
+    for lv in hier.levels:
+        assert isinstance(lv.A._band, tuple), "level operator unresolved"
+
+    # the banded matvec (interpreted here) agrees with the gather matvec
+    from tpufem.sparse.bcsr import BCSRMatrix
+    lv0 = hier.levels[0].A
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(lv0.shape[0]))
+    y_band = np.asarray(lv0.matvec(x))
+    gather = BCSRMatrix(lv0.data, lv0.cols)
+    gather._band = None
+    y_gather = np.asarray(gather.matvec(x))
+    np.testing.assert_allclose(y_band, y_gather, rtol=0, atol=1e-11)
+
+    # and the full cycle through a jit boundary (hierarchy as argument)
+    # still matches the eager application
+    z_eager = np.asarray(hier.apply(jnp.asarray(b)))
+    z_jit = np.asarray(jax.jit(lambda h, r: h.apply(r))(hier,
+                                                        jnp.asarray(b)))
+    np.testing.assert_allclose(z_jit, z_eager, rtol=0, atol=1e-9
+                               * max(1.0, float(np.abs(z_eager).max())))

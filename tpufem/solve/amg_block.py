@@ -443,7 +443,9 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
 
         levels.append(BlockAMGLevel(
             A=BCSRMatrix(jnp.asarray(data.astype(dtype)),
-                         jnp.asarray(cols.astype(np.int32))),
+                         jnp.asarray(cols.astype(np.int32))
+                         ).resolve_band(),   # setup-time plan: tracer cols
+                                             # can't resolve inside jit
             inv_diag=jnp.asarray(Dinv.astype(dtype)),
             lmax=lmax,
             p_data=jnp.asarray(p_data.astype(dtype)),

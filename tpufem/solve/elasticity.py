@@ -23,8 +23,7 @@ from tpufem.mesh.adjacency import ell_pattern
 from tpufem.mesh.core import Mesh
 from tpufem.solve.cg import CGResult, cg
 from tpufem.solve.precond import block_jacobi
-from tpufem.sparse.bcsr import (BCSRMatrix, apply_dirichlet_bcsr,
-                                assemble_bcsr)
+from tpufem.sparse.bcsr import BCSRMatrix, apply_dirichlet_bcsr
 
 __all__ = ["ElasticitySolution", "elasticity_forms", "solve_elasticity"]
 
@@ -90,21 +89,64 @@ def solve_elasticity(mesh: Mesh, *, lam: float = 1.0, mu: float = 1.0,
     wf = elasticity_forms(V, lam, mu, body_force)
     wf.dtype = dtype
 
-    ecoords = jnp.asarray(mesh.element_coords(), dtype)
-    Ke = wf.element_matrices(ecoords)
     pattern = ell_pattern(V.scalar_dof_conn, V.num_scalar_dofs,
                           pad_to=8 if mesh.dim == 2 else 16)
-    A = assemble_bcsr(pattern, Ke, block_size=V.num_components)
+    walls["host_pattern"] = time.perf_counter() - t0
 
-    if wf.rhs_expr is not None:
-        from tpufem.assemble.dense import assemble_vector
-        be = wf.element_vectors(ecoords)
-        b = assemble_vector(V.dof_conn, be, V.num_dofs)
-    else:
-        b = jnp.zeros(V.num_dofs, dtype)
-
+    # one jitted build program: element matrices -> BCSR scatter -> rhs ->
+    # Dirichlet elimination.  Eager op-by-op dispatch of the same chain
+    # measured 227-241 s at 980k elements over the device relay
+    # (BENCH_NOTES r4b phase 6b/7b); the pattern/connectivity arrays cross
+    # the jit boundary as ARGUMENTS so they don't bake into the HLO.
+    t0 = time.perf_counter()
+    ecoords = jnp.asarray(mesh.element_coords(), dtype)
+    slots_d = jnp.asarray(pattern.slots.reshape(-1))
+    cols_d = jnp.asarray(pattern.cols)
+    diag_d = jnp.asarray(pattern.diag_pos)
+    conn_d = jnp.asarray(V.dof_conn) if wf.rhs_expr is not None else None
     mask = jnp.asarray(V.dof_flags)
-    A2, b2 = apply_dirichlet_bcsr(A, b, mask, bc_values)
+    bcv = (None if bc_values is None
+           else jnp.broadcast_to(jnp.asarray(bc_values, dtype),
+                                 (V.num_dofs,)))
+    num_dofs, nbv = V.num_dofs, V.num_components
+
+    def build_fn(ecoords, slots, cols, diag_pos, conn, mask, bcv, be):
+        from tpufem.sparse.bcsr import assemble_bcsr_arrays
+        Ke = wf.element_matrices(ecoords)
+        A = assemble_bcsr_arrays(slots, cols, diag_pos, Ke, nbv)
+        if conn is not None:
+            from tpufem.assemble.dense import assemble_vector
+            bev = wf.element_vectors(ecoords) if be is None else be
+            b = assemble_vector(conn, bev, num_dofs)
+        else:
+            b = jnp.zeros(num_dofs, ecoords.dtype)
+        A2, b2 = apply_dirichlet_bcsr(A, b, mask, bcv)
+        return A2.data, b2
+
+    def _compile_build(args):
+        if aot:
+            from tpufem.utils.aot import CompiledCache
+            cache = CompiledCache()
+            compiled = cache.get(build_fn, args, tag="elast_build")
+            walls["aot_cache_build"] = cache.stats.get("elast_build")
+            return compiled
+        return jax.jit(build_fn).lower(*args).compile()
+
+    build_args = (ecoords, slots_d, cols_d, diag_d, conn_d, mask, bcv, None)
+    try:
+        build_c = _compile_build(build_args)
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError, TypeError):
+        # body_force written against numpy (np.stack etc.) can't trace:
+        # evaluate the rhs element vectors eagerly, pass them as an arg
+        be_eager = wf.element_vectors(ecoords)
+        build_args = (ecoords, slots_d, cols_d, diag_d, conn_d, mask, bcv,
+                      be_eager)
+        build_c = _compile_build(build_args)
+    walls["assemble_compile"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    data2, b2 = build_c(*build_args)
+    A2 = BCSRMatrix(data2, cols_d, diag_d)
     jax.block_until_ready(A2.data)
     walls["assemble"] = time.perf_counter() - t0
 

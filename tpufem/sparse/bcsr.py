@@ -15,7 +15,8 @@ _HI = jax.lax.Precision.HIGHEST  # keep fp32 einsums in fp32 on TPU
 
 from tpufem.mesh.adjacency import ELLPattern
 
-__all__ = ["BCSRMatrix", "assemble_bcsr", "apply_dirichlet_bcsr"]
+__all__ = ["BCSRMatrix", "assemble_bcsr", "assemble_bcsr_arrays",
+           "apply_dirichlet_bcsr"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -27,13 +28,34 @@ class BCSRMatrix:
         self.data = data
         self.cols = cols
         self.diag_pos = diag_pos
+        # banded fast-path cache, mirroring ELLMatrix: (plan, data_t, rel)
+        # once resolved, None = gather, "unresolved" until first use.
+        self._band = "unresolved"
 
+    # The banded plan splits across the pytree protocol exactly like
+    # ELLMatrix: device arrays (data_t, rel) are children, static plan
+    # metadata rides aux_data — so a BCSR matrix passed THROUGH a jit
+    # boundary as an argument (the block-AMG hierarchy) keeps its Pallas
+    # fast path.  An unresolved matrix inside a trace cannot measure its
+    # bandwidth (tracer cols) and rides the gather — resolve at setup.
     def tree_flatten(self):
-        return (self.data, self.cols, self.diag_pos), None
+        band = self._band
+        if isinstance(band, tuple):
+            plan, data_dev, rel_dev = band
+            static_plan = plan._replace(rel=None, data_t=None, dtab=None)
+            return ((self.data, self.cols, self.diag_pos,
+                     (data_dev, rel_dev)), static_plan)
+        return (self.data, self.cols, self.diag_pos, None), band
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        data, cols, diag_pos, band_arrays = children
+        obj = cls(data, cols, diag_pos)
+        if isinstance(aux, tuple) and hasattr(aux, "block_rows"):
+            obj._band = (aux, band_arrays[0], band_arrays[1])
+        else:
+            obj._band = aux               # None | "unresolved"
+        return obj
 
     @property
     def block_size(self):
@@ -44,8 +66,71 @@ class BCSRMatrix:
         n = self.data.shape[0] * self.block_size
         return (n, n)
 
+    def _resolve_band(self):
+        """Build + cache the banded block plan if this matrix qualifies
+        (concrete arrays, node-pattern bandwidth <= the scalar auto cap,
+        dispatch enabled, TPU backend — interpret mode would be slower
+        than the gather it replaces)."""
+        if self._band != "unresolved":
+            return self._band
+        if (isinstance(self.data, jax.core.Tracer)
+                or isinstance(self.cols, jax.core.Tracer)):
+            return "unresolved"   # retry on a later (concrete) call
+        self._band = None
+        import os
+        if os.environ.get("TPUFEM_BAND_DISPATCH", "1") == "0":
+            return None
+        if jax.default_backend() != "tpu":
+            return None
+        try:
+            import numpy as np
+
+            from tpufem.sparse.ell import _AUTO_BAND_MAX
+            cols = np.asarray(self.cols)
+            nr = cols.shape[0]
+            bw = int(np.abs(cols.astype(np.int64)
+                            - np.arange(nr)[:, None]).max()) if nr else 0
+            if bw <= _AUTO_BAND_MAX:
+                self.prime_band_plan()
+        except Exception:
+            self._band = None     # any failure -> permanent gather fallback
+        return self._band
+
+    def resolve_band(self):
+        """Resolve the banded fast path NOW (see ELLMatrix.resolve_band):
+        call before passing the matrix through a jit boundary."""
+        self._resolve_band()
+        return self
+
+    def prime_band_plan(self, block_rows=None):
+        """Build + cache the banded block plan unconditionally (any
+        bandwidth — the plan picks a covering block size)."""
+        import numpy as np
+
+        from tpufem.sparse.ell_pallas import (auto_block_rows,
+                                              bcsr_band_plan)
+        cols = np.asarray(self.cols)
+        if block_rows is None:
+            nr = cols.shape[0]
+            bw = int(np.abs(cols.astype(np.int64)
+                            - np.arange(nr)[:, None]).max()) if nr else 0
+            block_rows = auto_block_rows(bw, nr)
+        plan, data_t = bcsr_band_plan(np.asarray(self.data), cols,
+                                      block_rows=block_rows)
+        with jax.ensure_compile_time_eval():
+            self._band = (plan, jnp.asarray(data_t), jnp.asarray(plan.rel))
+        return self
+
     def matvec(self, x):
         ns, k, b, _ = self.data.shape
+        band = self._resolve_band()
+        if band not in (None, "unresolved"):
+            from tpufem.sparse.ell_pallas import bcsr_matvec_pallas
+            plan, data_dev, rel_dev = band
+            xc = x.reshape(ns, b).T                    # component-major
+            y = bcsr_matvec_pallas(plan, data_dev, rel_dev, xc,
+                                   interpret=jax.default_backend() != "tpu")
+            return y.T.reshape(-1)
         xb = x.reshape(ns, b)
         gathered = xb[self.cols]                       # [ns, K, b]
         y = (self.data * gathered[:, :, None, :]).sum(axis=(1, 3))
@@ -71,6 +156,26 @@ class BCSRMatrix:
         return A
 
 
+def assemble_bcsr_arrays(slots, cols, diag_pos, element_matrices,
+                         block_size: int) -> BCSRMatrix:
+    """Array-argument variant of :func:`assemble_bcsr` — jit-friendly.
+
+    ``slots`` is the flat [NE*nl*nl] scatter plan, ``cols``/``diag_pos``
+    the device pattern arrays.  Pass these THROUGH the jit boundary as
+    arguments: calling the pattern-object variant inside a trace would
+    bake the ~100 MB plan into the lowered HLO as constants
+    (BENCH_NOTES r4 — the 241 s eager / 415 s lowering walls)."""
+    ns, K = cols.shape
+    ne = element_matrices.shape[0]
+    b = block_size
+    nl = element_matrices.shape[1] // b
+    Ke = element_matrices.reshape(ne, nl, b, nl, b)
+    blocks = jnp.transpose(Ke, (0, 1, 3, 2, 4)).reshape(-1, b, b)
+    flat = jnp.zeros((ns * K, b, b), blocks.dtype).at[slots].add(blocks)
+    return BCSRMatrix(data=flat.reshape(ns, K, b, b), cols=cols,
+                      diag_pos=diag_pos)
+
+
 def assemble_bcsr(pattern: ELLPattern, element_matrices, block_size: int
                   ) -> BCSRMatrix:
     """Local matrices [NE, nl*b, nl*b] (node-major-comp-minor DOF order) ->
@@ -78,19 +183,10 @@ def assemble_bcsr(pattern: ELLPattern, element_matrices, block_size: int
 
     ``pattern`` must be built over the scalar DOF connectivity.
     """
-    ns, K = pattern.cols.shape
-    ne = element_matrices.shape[0]
-    b = block_size
-    nl = element_matrices.shape[1] // b
-    Ke = element_matrices.reshape(ne, nl, b, nl, b)
-    blocks = jnp.transpose(Ke, (0, 1, 3, 2, 4)).reshape(-1, b, b)
-    slots = jnp.asarray(pattern.slots.reshape(-1))
-    flat = jnp.zeros((ns * K, b, b), blocks.dtype).at[slots].add(blocks)
-    return BCSRMatrix(
-        data=flat.reshape(ns, K, b, b),
-        cols=jnp.asarray(pattern.cols),
-        diag_pos=jnp.asarray(pattern.diag_pos),
-    )
+    return assemble_bcsr_arrays(jnp.asarray(pattern.slots.reshape(-1)),
+                                jnp.asarray(pattern.cols),
+                                jnp.asarray(pattern.diag_pos),
+                                element_matrices, block_size)
 
 
 def apply_dirichlet_bcsr(A: BCSRMatrix, b_vec, bc_mask, bc_values=None):
