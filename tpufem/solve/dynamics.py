@@ -101,33 +101,39 @@ def leapfrog_wave(matvec_K: Callable, m_lumped, u0, v0, dt: float,
         u0 = jnp.where(mask, zero, u0)
         v0 = jnp.where(mask, zero, v0)
 
-    def accel(u, t):
+    def accel_from(Ku, t):
         f = forcing(t) if forcing is not None else 0.0
-        a = inv_m * (f - matvec_K(u))
+        a = inv_m * (f - Ku)
         if bc_mask is not None:
             a = jnp.where(mask, jnp.zeros((), dtype), a)
         return a
 
     # Taylor start-up: u_1 = u_0 + dt v_0 + dt^2/2 a_0 keeps the scheme
     # second order from the first step.
-    u1 = u0 + dt * v0 + 0.5 * dt * dt * accel(u0, 0.0)
+    u1 = u0 + dt * v0 + 0.5 * dt * dt * accel_from(matvec_K(u0), 0.0)
     if bc_mask is not None:
         u1 = jnp.where(mask, jnp.zeros((), dtype), u1)
 
+    # K u_n rides the carry: the energy trace's K u_{n+1} is exactly the
+    # next step's stiffness term, so the transient loop pays ONE SpMV per
+    # step (plus one start-up SpMV for K u_1), not two.
+    Ku1 = matvec_K(u1)
+
     def step(carry, n):
-        u_prev, u = carry
+        u_prev, u, Ku = carry
         t = n.astype(dtype) * dt
-        u_next = 2.0 * u - u_prev + dt * dt * accel(u, t)
+        u_next = 2.0 * u - u_prev + dt * dt * accel_from(Ku, t)
         if bc_mask is not None:
             u_next = jnp.where(mask, jnp.zeros((), dtype), u_next)
+        Ku_next = matvec_K(u_next)
         v_half = (u_next - u) / dt
         energy = 0.5 * jnp.vdot(v_half, m_lumped * v_half) \
-            + 0.5 * jnp.vdot(u, matvec_K(u_next))
-        return (u, u_next), energy
+            + 0.5 * jnp.vdot(u, Ku_next)
+        return (u, u_next, Ku_next), energy
 
     # start-up already produced u_1 (one dt increment); steps - 1 scan
     # iterations take the state to u_N with T = steps * dt.
-    (u_prev_final, u_final), energy = jax.lax.scan(
-        step, (u0, u1), jnp.arange(1, steps))
+    (u_prev_final, u_final, _), energy = jax.lax.scan(
+        step, (u0, u1, Ku1), jnp.arange(1, steps))
     v_final = (u_final - u_prev_final) / dt
     return WaveResult(u=u_final, v=v_final, energy=energy)

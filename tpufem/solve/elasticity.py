@@ -33,7 +33,10 @@ class ElasticitySolution(NamedTuple):
     cg: CGResult
     space: FunctionSpace
     A: BCSRMatrix
-    walls: dict = {}           # phase walls (seconds), filled by the driver
+    # None default (not {}): NamedTuple defaults are shared across every
+    # instance, so a mutable {} here would alias all externally-built
+    # solutions' walls onto one dict
+    walls: Optional[dict] = None   # phase walls (seconds), set by the driver
 
 
 def elasticity_forms(V: FunctionSpace, lam: float, mu: float,

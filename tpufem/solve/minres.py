@@ -104,9 +104,11 @@ def minres(matvec: Callable, b, x0=None, *, tol: float = 1e-8,
         w1 = w2
         w2n = w
         wn = (v - oldeps * w1 - delta * w2n) / gamma
-        xn = x + phi * wn
         bad_n = (bad | ~jnp.isfinite(beta_sq) | (beta_sq < 0)
                  | ~jnp.isfinite(alfa))
+        # keep the last finite iterate: the step that trips `bad` must
+        # not pollute x (phi/wn may already be NaN here)
+        xn = jnp.where(bad_n, x, x + phi * wn)
         return (xn, r1n, r2n, yn, wn, w2n, oldbn, betan, dbar_n,
                 epsln_n, phibar_n, cs_n, sn_n, k + 1, bad_n)
 
@@ -115,8 +117,13 @@ def minres(matvec: Callable, b, x0=None, *, tol: float = 1e-8,
         return (phibar > tol * safe_beta1) & (k < maxiter) & (~bad)
 
     def batched(state):
-        return jax.lax.fori_loop(0, check_every, lambda i, st: step(st),
-                                 state)
+        # freeze the whole state once `bad` is set so the remaining steps
+        # of a check_every batch cannot NaN-pollute the returned iterate
+        # (cg.py's step_safe pattern)
+        def step_safe(_, st):
+            new = step(st)
+            return tuple(jnp.where(st[14], o, n) for o, n in zip(st, new))
+        return jax.lax.fori_loop(0, check_every, step_safe, state)
 
     zero = jnp.zeros_like(b)
     s0 = jnp.asarray(0, b.dtype)

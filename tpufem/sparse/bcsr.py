@@ -92,8 +92,15 @@ class BCSRMatrix:
                             - np.arange(nr)[:, None]).max()) if nr else 0
             if bw <= _AUTO_BAND_MAX:
                 self.prime_band_plan()
-        except Exception:
-            self._band = None     # any failure -> permanent gather fallback
+        except Exception as exc:
+            # name the failure before pinning the gather fallback (the
+            # round-4 silent-gather disease class, BENCH_NOTES r4b 5b)
+            import warnings
+            warnings.warn(
+                f"BCSRMatrix band-plan build failed ({type(exc).__name__}: "
+                f"{exc}); falling back to gather SpMV (~500x slower at "
+                "scale)", RuntimeWarning, stacklevel=2)
+            self._band = None
         return self._band
 
     def resolve_band(self):

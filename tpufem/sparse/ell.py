@@ -120,8 +120,16 @@ class ELLMatrix:
                 # bw already scanned here — pass the derived block size so
                 # ell_band_plan doesn't rescan (same policy, one source)
                 self.prime_band_plan(auto_block_rows(bw, n))
-        except Exception:
-            self._band = None     # any failure -> permanent gather fallback
+        except Exception as exc:
+            # name the failure before pinning the gather fallback — a
+            # silent swallow here is exactly the round-4 472 ms/V-cycle
+            # pathology class (BENCH_NOTES r4b phase 5b)
+            import warnings
+            warnings.warn(
+                f"ELLMatrix band-plan build failed ({type(exc).__name__}: "
+                f"{exc}); falling back to gather SpMV (~500x slower at "
+                "scale)", RuntimeWarning, stacklevel=2)
+            self._band = None
         return self._band
 
     def resolve_band(self):
