@@ -137,3 +137,73 @@ def test_native_galerkin_width_retry():
                                  width_guess=2)
     assert cd.shape == cc.shape and cd.shape[0] == nc
     assert cd.shape[1] >= 2
+
+
+def _bell_dense(data, cols, nrows, ncols):
+    """Block-ELL -> dense scalar matrix.  Pad slots carry zero blocks but
+    may point at out-of-range columns on rectangular operands
+    (_bcoo_to_bell pads with the own ROW index) — skip them."""
+    n, K, p, q = data.shape
+    out = np.zeros((nrows * p, ncols * q))
+    for i in range(n):
+        for k in range(K):
+            j = int(cols[i, k])
+            if j >= ncols:
+                assert not np.any(data[i, k]), "non-zero out-of-range block"
+                continue
+            out[i * p:(i + 1) * p, j * q:(j + 1) * q] += data[i, k]
+    return out
+
+
+def _random_block_operands(seed=0, n=80, K=5, b=3, nc=12, Kp=2, m=2):
+    rng = np.random.default_rng(seed)
+    a_cols = rng.integers(0, n, size=(n, K)).astype(np.int32)
+    a_cols[:, 0] = np.arange(n)
+    a_data = rng.standard_normal((n, K, b, b))
+    a_data[:, K - 1] = 0.0                     # exercise zero-block skip
+    p_cols = rng.integers(0, nc, size=(n, Kp)).astype(np.int32)
+    p_data = rng.standard_normal((n, Kp, b, m))
+    p_data[::7] = 0.0                          # some all-zero P rows
+    return a_data, a_cols, p_data, p_cols
+
+
+def test_bspmm_bell_parity():
+    """Native blocked SpMM == the chunked-numpy _bspmm spec (dense
+    compare; ELL pad ordering may differ)."""
+    from tpufem.solve.amg_block import _bspmm, _bcoo_to_bell
+    a_data, a_cols, p_data, p_cols = _random_block_operands()
+    n, _, b, _ = a_data.shape
+    nc, m = 12, p_data.shape[3]
+    cd_nat, cc_nat = native.bspmm_bell(a_data, a_cols, p_data, p_cols, nc)
+    cr, cc, cv = _bspmm(a_data, a_cols, p_data, p_cols, nc, 1 << 18)
+    cd_np, cc_np = _bcoo_to_bell(cr, cc, cv, n)
+    Dn = _bell_dense(cd_nat, cc_nat, n, nc)
+    Dp = _bell_dense(cd_np, cc_np, n, nc)
+    assert np.abs(Dn - Dp).max() < 1e-12 * max(1.0, np.abs(Dp).max())
+
+
+def test_galerkin_bell_parity():
+    """Native blocked Galerkin P^T A P == the _bspmm + _bspmm_t numpy
+    spec used by build_block_amg (VERDICT r4 item 5)."""
+    from tpufem.solve.amg_block import _bspmm, _bspmm_t, _bcoo_to_bell
+    a_data, a_cols, p_data, p_cols = _random_block_operands(seed=3)
+    nc, m = 12, p_data.shape[3]
+    gd_nat, gc_nat = native.galerkin_bell(a_data, a_cols, p_data, p_cols,
+                                          nc)
+    cr, cc, cv = _bspmm(a_data, a_cols, p_data, p_cols, nc, 1 << 18)
+    gr, gc, gv = _bspmm_t(p_data, p_cols, cr, cc, cv, nc, 1 << 18)
+    gd_np, gc_np = _bcoo_to_bell(gr, gc, gv, nc)
+    Dn = _bell_dense(gd_nat, gc_nat, nc, nc)
+    Dp = _bell_dense(gd_np, gc_np, nc, nc)
+    assert np.abs(Dn - Dp).max() < 1e-12 * max(1.0, np.abs(Dp).max())
+
+
+def test_galerkin_bell_width_retry():
+    """First-guess width too small -> wrapper retries with the returned
+    requirement (mirrors the scalar width-retry contract)."""
+    a_data, a_cols, p_data, p_cols = _random_block_operands(
+        seed=5, n=40, K=6, b=2, nc=4, Kp=3, m=2)
+    gd, gc = native.galerkin_bell(a_data, a_cols, p_data, p_cols, 4,
+                                  width_guess=1)
+    assert gd.shape[0] == 4 and gd.shape[:2] == gc.shape
+    assert gd.shape[1] >= 1

@@ -103,6 +103,14 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         _f64p, _i32p, ctypes.c_int32, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p]
     lib.tpufem_galerkin_ell.restype = ctypes.c_int64
+    _blk_args = [
+        _f64p, _i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        _f64p, _i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p]
+    lib.tpufem_bspmm_bell.argtypes = _blk_args
+    lib.tpufem_bspmm_bell.restype = ctypes.c_int64
+    lib.tpufem_galerkin_bell.argtypes = _blk_args
+    lib.tpufem_galerkin_bell.restype = ctypes.c_int64
     return lib
 
 
@@ -254,6 +262,76 @@ def galerkin_ell(a_data: np.ndarray, a_cols: np.ndarray,
             return c_data, c_cols
         W = int(need)
     raise RuntimeError("galerkin_ell width did not converge")
+
+
+def _check_block_operands(a_data, a_cols, p_data, p_cols):
+    a_data = np.ascontiguousarray(a_data, np.float64)
+    a_cols = np.ascontiguousarray(a_cols, np.int32)
+    p_data = np.ascontiguousarray(p_data, np.float64)
+    p_cols = np.ascontiguousarray(p_cols, np.int32)
+    if a_data.shape[:2] != a_cols.shape or p_data.shape[:2] != p_cols.shape:
+        raise ValueError("block data/cols shape mismatch")
+    if a_data.shape[0] != p_data.shape[0]:
+        raise ValueError("A and P row counts differ")
+    if a_data.shape[2] != a_data.shape[3] or a_data.shape[3] != p_data.shape[2]:
+        raise ValueError("block dims incompatible (A [n,K,b,b], P [n,Kp,b,m])")
+    return a_data, a_cols, p_data, p_cols
+
+
+def bspmm_bell(a_data: np.ndarray, a_cols: np.ndarray,
+               p_data: np.ndarray, p_cols: np.ndarray, nc: int,
+               width_guess: int = 0):
+    """Native blocked SpMM C = A @ P over zero-padded block-ELL operands
+    (parity with tpufem.solve.amg_block._bspmm, the numpy spec).
+    A [n,K,b,b]/[n,K], P [n,Kp,b,m]/[n,Kp] -> (c_data [n,W,b,m], c_cols)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (run build_native())")
+    a_data, a_cols, p_data, p_cols = _check_block_operands(
+        a_data, a_cols, p_data, p_cols)
+    n, K, b, _ = a_data.shape
+    Kp, m = p_data.shape[1], p_data.shape[3]
+    W = int(width_guess) or max(2 * K, 16)
+    for _ in range(3):
+        c_data = np.empty((n, W, b, m), np.float64)
+        c_cols = np.empty((n, W), np.int32)
+        need = lib.tpufem_bspmm_bell(
+            a_data.reshape(-1), a_cols, n, K, b,
+            p_data.reshape(-1), p_cols, Kp, m, nc, W,
+            c_data.ctypes.data_as(ctypes.c_void_p),
+            c_cols.ctypes.data_as(ctypes.c_void_p))
+        if need <= W:
+            return c_data, c_cols
+        W = int(need)
+    raise RuntimeError("bspmm_bell width did not converge")
+
+
+def galerkin_bell(a_data: np.ndarray, a_cols: np.ndarray,
+                  p_data: np.ndarray, p_cols: np.ndarray, nc: int,
+                  width_guess: int = 0):
+    """Native blocked Galerkin A_c = P^T A P (block analogue of
+    galerkin_ell; parity with amg_block's _bspmm + _bspmm_t numpy spec).
+    Returns (c_data [nc, W, m, m] float64, c_cols [nc, W] int32)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (run build_native())")
+    a_data, a_cols, p_data, p_cols = _check_block_operands(
+        a_data, a_cols, p_data, p_cols)
+    n, K, b, _ = a_data.shape
+    Kp, m = p_data.shape[1], p_data.shape[3]
+    W = int(width_guess) or max(4 * K, 24)
+    for _ in range(3):
+        c_data = np.empty((nc, W, m, m), np.float64)
+        c_cols = np.empty((nc, W), np.int32)
+        need = lib.tpufem_galerkin_bell(
+            a_data.reshape(-1), a_cols, n, K, b,
+            p_data.reshape(-1), p_cols, Kp, m, nc, W,
+            c_data.ctypes.data_as(ctypes.c_void_p),
+            c_cols.ctypes.data_as(ctypes.c_void_p))
+        if need <= W:
+            return c_data, c_cols
+        W = int(need)
+    raise RuntimeError("galerkin_bell width did not converge")
 
 
 def reverse_cuthill_mckee(cols: np.ndarray) -> np.ndarray:

@@ -515,4 +515,235 @@ int64_t tpufem_galerkin_ell(const double* a_data, const int32_t* a_cols,
   return needed;
 }
 
+namespace {
+
+// Scratch accumulator for blocked sparse products: (column, block) pairs
+// collected per output row, then sorted by column and merged.  Blocks are
+// kept out-of-line in a flat buffer so the sort moves 12 bytes per entry.
+struct BlockScratch {
+  std::vector<std::pair<int64_t, int32_t>> keys;  // (col, block index)
+  std::vector<double> blocks;                     // flat [count * bm]
+  int32_t bm = 0;
+
+  void reset(int32_t block_elems) {
+    keys.clear();
+    blocks.clear();
+    bm = block_elems;
+  }
+  double* push(int64_t col) {
+    keys.emplace_back(col, static_cast<int32_t>(keys.size()));
+    blocks.resize(blocks.size() + bm, 0.0);
+    return blocks.data() + blocks.size() - bm;
+  }
+};
+
+inline bool block_nonzero(const double* v, int32_t len) {
+  for (int32_t t = 0; t < len; ++t)
+    if (v[t] != 0.0) return true;
+  return false;
+}
+
+// Merge sorted-by-column scratch into an ELL row of width Wc (pad col =
+// `pad`, zero blocks), keeping the diagonal entry `diag_col` alive even
+// when it sums to zero.  Returns the required width; writes only when
+// `write` and the entry fits.
+int64_t merge_row(BlockScratch& sc, int64_t row_base, int32_t Wc, bool write,
+                  int64_t diag_col, int64_t pad, double* out_data,
+                  int32_t* out_cols) {
+  std::sort(sc.keys.begin(), sc.keys.end());
+  const int32_t bm = sc.bm;
+  std::vector<double> acc(bm);
+  int64_t w = 0;
+  for (size_t s = 0; s < sc.keys.size();) {
+    const int64_t col = sc.keys[s].first;
+    std::fill(acc.begin(), acc.end(), 0.0);
+    size_t e = s;
+    while (e < sc.keys.size() && sc.keys[e].first == col) {
+      const double* src = sc.blocks.data() +
+                          static_cast<size_t>(sc.keys[e].second) * bm;
+      for (int32_t t = 0; t < bm; ++t) acc[t] += src[t];
+      ++e;
+    }
+    if (block_nonzero(acc.data(), bm) || col == diag_col) {
+      if (write && w < Wc) {
+        double* dst = out_data + (row_base + w) * bm;
+        for (int32_t t = 0; t < bm; ++t) dst[t] = acc[t];
+        out_cols[row_base + w] = static_cast<int32_t>(col);
+      }
+      ++w;
+    }
+    s = e;
+  }
+  if (w == 0) {                  // keep the row alive (zero diagonal)
+    if (write && Wc > 0) {
+      double* dst = out_data + row_base * bm;
+      for (int32_t t = 0; t < bm; ++t) dst[t] = 0.0;
+      out_cols[row_base] = static_cast<int32_t>(
+          diag_col >= 0 ? diag_col : pad);
+    }
+    w = 1;
+  }
+  if (write)
+    for (int64_t k = w; k < Wc; ++k) {
+      double* dst = out_data + (row_base + k) * bm;
+      for (int32_t t = 0; t < bm; ++t) dst[t] = 0.0;
+      out_cols[row_base + k] = static_cast<int32_t>(pad);
+    }
+  return w;
+}
+
+}  // namespace
+
+// Blocked SpMM C = A @ P over zero-padded block-ELL operands — the
+// smoothed-prolongator step of block smoothed aggregation
+// (tpufem/solve/amg_block.py:_bspmm is the executable numpy spec; its
+// fancy-indexed [rows, K, Kp, b, m] intermediates are what made the
+// 982k-DOF setup cost ~1047 s, BENCH_NOTES r4b phase 6b/7b).
+// a_data [n, K, b, b] / a_cols [n, K] (pad col = own row, zero block);
+// p_data [n, Kp, b, m] / p_cols [n, Kp] with coarse ids < nc.
+// Output block-ELL c_data [n, Wc, b, m] / c_cols [n, Wc] (pad col 0, rows
+// have no forced diagonal — C is rectangular).  Returns required width.
+int64_t tpufem_bspmm_bell(const double* a_data, const int32_t* a_cols,
+                          int64_t n, int32_t K, int32_t b,
+                          const double* p_data, const int32_t* p_cols,
+                          int32_t Kp, int32_t m, int64_t nc,
+                          int32_t Wc, double* c_data, int32_t* c_cols) {
+  (void)nc;
+  const int32_t bb = b * b, bm = b * m;
+  BlockScratch sc;
+  int64_t needed = 1;
+  const bool write = (Wc > 0 && c_data != nullptr);
+  for (int64_t i = 0; i < n; ++i) {
+    sc.reset(bm);
+    for (int32_t k = 0; k < K; ++k) {
+      const double* Ab = a_data + (i * K + k) * bb;
+      if (!block_nonzero(Ab, bb)) continue;
+      const int64_t j = a_cols[i * K + k];
+      for (int32_t kp = 0; kp < Kp; ++kp) {
+        const double* Pb = p_data + (j * Kp + kp) * bm;
+        if (!block_nonzero(Pb, bm)) continue;
+        double* V = sc.push(p_cols[j * Kp + kp]);
+        for (int32_t x = 0; x < b; ++x)
+          for (int32_t z = 0; z < b; ++z) {
+            const double a = Ab[x * b + z];
+            if (a == 0.0) continue;
+            for (int32_t y = 0; y < m; ++y)
+              V[x * m + y] += a * Pb[z * m + y];
+          }
+      }
+    }
+    const int64_t w = merge_row(sc, i * static_cast<int64_t>(Wc), Wc, write,
+                                /*diag_col=*/-1, /*pad=*/0, c_data, c_cols);
+    if (w > needed) needed = w;
+  }
+  return needed;
+}
+
+// Blocked Galerkin triple product A_c = P^T A P — the block analogue of
+// tpufem_galerkin_ell above (the scalar version closed the round-3 AMG
+// setup wall; VERDICT r4 item 5 asks for the same for BCSR hierarchies).
+// Operands as in tpufem_bspmm_bell; output c_data [nc, Wc, m, m] /
+// c_cols [nc, Wc] (pad col = own coarse row).  Returns required width.
+int64_t tpufem_galerkin_bell(const double* a_data, const int32_t* a_cols,
+                             int64_t n, int32_t K, int32_t b,
+                             const double* p_data, const int32_t* p_cols,
+                             int32_t Kp, int32_t m, int64_t nc,
+                             int32_t Wc, double* c_data, int32_t* c_cols) {
+  const int32_t bb = b * b, bm = b * m, mm = m * m;
+  // ---- stage 1: C = A @ P, deduped per fine row, CSR-style ----
+  std::vector<int64_t> c_ptr(n + 1, 0);
+  std::vector<int64_t> ccol;
+  std::vector<double> cval;
+  ccol.reserve(static_cast<size_t>(n) * (K + 4));
+  cval.reserve(static_cast<size_t>(n) * (K + 4) * bm);
+  BlockScratch sc;
+  std::vector<double> acc(bm);
+  for (int64_t i = 0; i < n; ++i) {
+    sc.reset(bm);
+    for (int32_t k = 0; k < K; ++k) {
+      const double* Ab = a_data + (i * K + k) * bb;
+      if (!block_nonzero(Ab, bb)) continue;
+      const int64_t j = a_cols[i * K + k];
+      for (int32_t kp = 0; kp < Kp; ++kp) {
+        const double* Pb = p_data + (j * Kp + kp) * bm;
+        if (!block_nonzero(Pb, bm)) continue;
+        double* V = sc.push(p_cols[j * Kp + kp]);
+        for (int32_t x = 0; x < b; ++x)
+          for (int32_t z = 0; z < b; ++z) {
+            const double a = Ab[x * b + z];
+            if (a == 0.0) continue;
+            for (int32_t y = 0; y < m; ++y)
+              V[x * m + y] += a * Pb[z * m + y];
+          }
+      }
+    }
+    std::sort(sc.keys.begin(), sc.keys.end());
+    for (size_t s = 0; s < sc.keys.size();) {
+      const int64_t col = sc.keys[s].first;
+      std::fill(acc.begin(), acc.end(), 0.0);
+      size_t e = s;
+      while (e < sc.keys.size() && sc.keys[e].first == col) {
+        const double* src = sc.blocks.data() +
+                            static_cast<size_t>(sc.keys[e].second) * bm;
+        for (int32_t t = 0; t < bm; ++t) acc[t] += src[t];
+        ++e;
+      }
+      if (block_nonzero(acc.data(), bm)) {
+        ccol.push_back(col);
+        cval.insert(cval.end(), acc.begin(), acc.end());
+      }
+      s = e;
+    }
+    c_ptr[i + 1] = static_cast<int64_t>(ccol.size());
+  }
+
+  // ---- stage 2: transpose P (bucket by coarse column) ----
+  std::vector<int64_t> t_ptr(nc + 1, 0);
+  for (int64_t i = 0; i < n; ++i)
+    for (int32_t kp = 0; kp < Kp; ++kp)
+      if (block_nonzero(p_data + (i * Kp + kp) * bm, bm))
+        ++t_ptr[p_cols[i * Kp + kp] + 1];
+  for (int64_t c = 0; c < nc; ++c) t_ptr[c + 1] += t_ptr[c];
+  std::vector<int64_t> t_row(t_ptr[nc]);
+  std::vector<int64_t> t_off(t_ptr[nc]);   // block offset into p_data
+  {
+    std::vector<int64_t> cur(t_ptr.begin(), t_ptr.end() - 1);
+    for (int64_t i = 0; i < n; ++i)
+      for (int32_t kp = 0; kp < Kp; ++kp) {
+        const int64_t off = (i * Kp + kp) * static_cast<int64_t>(bm);
+        if (!block_nonzero(p_data + off, bm)) continue;
+        const int64_t c = p_cols[i * Kp + kp];
+        t_row[cur[c]] = i;
+        t_off[cur[c]] = off;
+        ++cur[c];
+      }
+  }
+
+  // ---- stage 3: A_c rows = P^T C, deduped per coarse row ----
+  int64_t needed = 1;
+  const bool write = (Wc > 0 && c_data != nullptr);
+  for (int64_t c = 0; c < nc; ++c) {
+    sc.reset(mm);
+    for (int64_t t = t_ptr[c]; t < t_ptr[c + 1]; ++t) {
+      const int64_t i = t_row[t];
+      const double* Pb = p_data + t_off[t];          // [b, m]
+      for (int64_t s = c_ptr[i]; s < c_ptr[i + 1]; ++s) {
+        const double* Cv = cval.data() + s * bm;     // [b, m]
+        double* V = sc.push(ccol[s]);                // [m, m] += Pb^T Cv
+        for (int32_t z = 0; z < b; ++z)
+          for (int32_t x = 0; x < m; ++x) {
+            const double p = Pb[z * m + x];
+            if (p == 0.0) continue;
+            for (int32_t y = 0; y < m; ++y)
+              V[x * m + y] += p * Cv[z * m + y];
+          }
+      }
+    }
+    const int64_t w = merge_row(sc, c * static_cast<int64_t>(Wc), Wc, write,
+                                /*diag_col=*/c, /*pad=*/c, c_data, c_cols);
+    if (w > needed) needed = w;
+  }
+  return needed;
+}
+
 }  // extern "C"

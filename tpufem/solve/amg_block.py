@@ -350,7 +350,8 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
                     omega_scale: float = 4.0 / 3.0,
                     smoother_degree: int = 2, smoother_ratio: float = 8.0,
                     strength: float = 0.06, cycle: str = "V",
-                    chunk: int = 1 << 19) -> BlockAMGHierarchy:
+                    chunk: int = 1 << 19,
+                    native_setup: bool = True) -> BlockAMGHierarchy:
     """Build a block-SA hierarchy from a concrete BCSR matrix.
 
     ``B`` is the near-null space [ns*b, m] (node-major component-minor).
@@ -376,11 +377,20 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
     B = np.asarray(B, np.float64)
     m = B.shape[1]
 
+    if native_setup:
+        try:
+            from tpufem import native
+            use_native = native.available()
+        except Exception:
+            use_native = False
+    else:
+        use_native = False
+
     levels = []
     nnz0 = float(np.count_nonzero((data != 0).any(axis=(2, 3))))
     nnz_total = nnz0
 
-    for _ in range(max_levels):
+    for level in range(max_levels):
         ns = data.shape[0]
         if ns * b <= coarse_n or ns <= 1:
             break
@@ -396,10 +406,15 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
         lmax = float(fro.sum(axis=1).max())
         omega = omega_scale / lmax
 
-        # strength-filtered nodal aggregation (block Frobenius norms)
+        # strength-filtered nodal aggregation (block Frobenius norms).
+        # theta decays by half per level (Vanek's standard choice): the
+        # Galerkin coarse operators are denser and more uniformly coupled,
+        # so the fine-level theta over-filters them into near-singleton
+        # aggregates — the round-4 stall that left a 3000+-DOF dense
+        # coarsest (15 s SVD pinv) instead of coarsening to coarse_n
         nf = np.sqrt((data ** 2).sum(axis=(2, 3)))          # [ns, K]
         dn = np.sqrt((Dblk ** 2).sum(axis=(1, 2)))          # [ns]
-        thr = strength * np.sqrt(
+        thr = (strength * 0.5 ** level) * np.sqrt(
             np.maximum(dn[:, None] * dn[cols.astype(np.int64)], 1e-300))
         agg_cols = np.where(nf >= thr, cols,
                             np.arange(ns, dtype=cols.dtype)[:, None]
@@ -419,7 +434,12 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
         # tentative (per-aggregate QR of B) and smoothed prolongator
         t_data, Bc = _tentative(agg, nc, B, b)     # [ns,1,b,m], [nc*m, m]
         t_cols = agg[:, None].astype(np.int32)
-        cr, cc, cv = _bspmm(data, cols, t_data, t_cols, nc, chunk)  # A T
+        if use_native:                              # A T
+            from tpufem import native
+            cr, cc, cv = _bell_to_bcoo(*native.bspmm_bell(
+                data, cols, t_data, t_cols, nc))
+        else:
+            cr, cc, cv = _bspmm(data, cols, t_data, t_cols, nc, chunk)
         # P = T - omega Dinv (A T): merge the two block-COO terms
         pr = np.concatenate([np.arange(ns, dtype=np.int64), cr])
         pc = np.concatenate([agg, cc])
@@ -429,10 +449,19 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
         pr, pc, pv = _bcoo_dedup(pr, pc, pv, nc)
         p_data, p_cols = _bcoo_to_bell(pr, pc, pv, ns)
 
-        # Galerkin A_c = P^T (A P)
-        cr, cc, cv = _bspmm(data, cols, p_data, p_cols, nc, chunk)
-        gr, gc, gv = _bspmm_t(p_data, p_cols, cr, cc, cv, nc, chunk)
-        c_data, c_cols = _bcoo_to_bell(gr, gc, gv, nc)
+        # Galerkin A_c = P^T (A P) — native single-pass C++ when available
+        # (the chunked-numpy spec below cost ~1047 s at 982k DOFs,
+        # BENCH_NOTES r4b phase 6b/7b; the native path is O(nnz) with
+        # cache-resident per-row dedup, parity-tested in
+        # tests/test_native.py::test_galerkin_bell_parity)
+        if use_native:
+            from tpufem import native
+            c_data, c_cols = native.galerkin_bell(
+                data, cols, p_data, p_cols, nc)
+        else:
+            cr, cc, cv = _bspmm(data, cols, p_data, p_cols, nc, chunk)
+            gr, gc, gv = _bspmm_t(p_data, p_cols, cr, cc, cv, nc, chunk)
+            c_data, c_cols = _bcoo_to_bell(gr, gc, gv, nc)
         nnz_total += float(np.count_nonzero(
             (c_data != 0).any(axis=(2, 3))))
 
@@ -465,7 +494,14 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
         for y in range(bb):
             np.add.at(dense, (ridx * bb + x, cidx * bb + y),
                       data[:, :, x, y].ravel())
-    coarse_inv = jnp.asarray(np.linalg.pinv(dense).astype(dtype))
+    # symmetric pseudo-inverse via eigh (the operator is symmetric by
+    # construction): ~5x cheaper than SVD-based np.linalg.pinv and exact
+    # on the rigid-body null space the coarsest may carry
+    dense = 0.5 * (dense + dense.T)
+    w, Vc = np.linalg.eigh(dense)
+    cut = np.abs(w).max() * max(n, 1) * np.finfo(np.float64).eps
+    winv = np.where(np.abs(w) > cut, 1.0 / np.where(w != 0, w, 1.0), 0.0)
+    coarse_inv = jnp.asarray(((Vc * winv) @ Vc.T).astype(dtype))
 
     return BlockAMGHierarchy(levels=tuple(levels), coarse_inv=coarse_inv,
                              smoother_degree=int(smoother_degree),
