@@ -22,6 +22,10 @@ echo "--- phase 4: elasticity 1M block-Jacobi (jitted assembly + banded block cy
 timeout 3600 python examples/elasticity_unstructured.py --precond jacobi >> $LOG 2>&1
 echo "phase4 rc=$?" >> $LOG
 
+echo "--- phase 4b: elasticity 1M block-AMG (native Galerkin setup + banded block cycle)" >> $LOG
+timeout 3600 python examples/elasticity_unstructured.py --precond amg >> $LOG 2>&1
+echo "phase4b rc=$?" >> $LOG
+
 echo "--- phase 5: interval-AMG fault bisect (n sweep, V then W)" >> $LOG
 for n in 354 500 707 1000; do
   for cyc in V W; do

@@ -300,3 +300,68 @@ def test_band_dispatch_env_escape(monkeypatch):
     assert A._band is None          # declined the plan, rode the gather
     ref = np.asarray(ell_matvec(jnp.asarray(data), jnp.asarray(cols), x))
     np.testing.assert_allclose(y, ref, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("n,k,band,R,q", [(5000, 8, 300, 1024, 5),
+                                          (900, 8, 64, 128, 3)])
+def test_pallas_ell_multi_matches_gather(n, k, band, R, q):
+    """Multi-RHS banded kernel == gather multi-RHS (interpret mode)."""
+    from tpufem.sparse.ell import ell_matvec_multi
+    from tpufem.sparse.ell_pallas import ell_matvec_pallas_multi
+    rng = np.random.default_rng(7)
+    data, cols = _random_banded(rng, n, k, band)
+    X = rng.standard_normal((n, q)).astype(np.float32)
+    plan = ell_band_plan(data, cols, block_rows=R)
+    Y = ell_matvec_pallas_multi(plan, jnp.asarray(plan.data_t),
+                                jnp.asarray(plan.rel), jnp.asarray(X),
+                                interpret=True)
+    ref = np.asarray(ell_matvec_multi(jnp.asarray(data),
+                                      jnp.asarray(cols), jnp.asarray(X)))
+    assert Y.shape == (n, q)
+    err = np.abs(np.asarray(Y) - ref).max() / np.abs(ref).max()
+    assert err < 1e-6, err
+
+
+def test_pallas_ell_multi_segmented_matches_global():
+    """Segmented multi-RHS variant == unsegmented == gather."""
+    from tpufem.sparse.ell import ell_matvec_multi
+    from tpufem.sparse.ell_pallas import ell_matvec_pallas_multi
+    mesh = perturbed_rectangle_mesh(-1, 1, -1, 1, 40, 40, jitter=0.2,
+                                    seed=2)
+    pat = ell_pattern(mesh.conn, mesh.num_nodes, pad_to=8)
+    perm = reverse_cuthill_mckee(pat.cols)
+    rng = np.random.default_rng(3)
+    data = rng.standard_normal(pat.cols.shape).astype(np.float32)
+    data_p, cols_p = reorder_ell(data, pat.cols, perm)
+    plan = ell_band_plan(data_p, cols_p, block_rows=128, segment=True)
+    X = rng.standard_normal((mesh.num_nodes, 4)).astype(np.float32)
+    dt, rl, Xj = (jnp.asarray(plan.data_t), jnp.asarray(plan.rel),
+                  jnp.asarray(X))
+    Y_seg = ell_matvec_pallas_multi(plan, dt, rl, Xj, interpret=True,
+                                    segmented=True)
+    Y_glob = ell_matvec_pallas_multi(plan, dt, rl, Xj, interpret=True,
+                                     segmented=False)
+    ref = np.asarray(ell_matvec_multi(jnp.asarray(data_p),
+                                      jnp.asarray(cols_p), Xj))
+    for Y in (Y_seg, Y_glob):
+        err = np.abs(np.asarray(Y) - ref).max() / np.abs(ref).max()
+        assert err < 1e-6, err
+
+
+def test_ellmatrix_matvec_multi_matches_columns():
+    """ELLMatrix.matvec_multi (banded auto-dispatch) == per-column
+    matvec, and the gather fallback path agrees too."""
+    import jax
+    from tpufem.sparse.ell import ELLMatrix
+    mesh = rectangle_mesh(-1, 1, -1, 1, 30, 30)
+    pat = ell_pattern(mesh.conn, mesh.num_nodes, pad_to=8)
+    rng = np.random.default_rng(5)
+    data = rng.standard_normal(pat.cols.shape).astype(np.float32)
+    A = ELLMatrix(jnp.asarray(data), jnp.asarray(pat.cols))
+    X = jnp.asarray(rng.standard_normal((mesh.num_nodes, 3))
+                    .astype(np.float32))
+    Y = np.asarray(A.matvec_multi(X))
+    cols = np.stack([np.asarray(A.matvec(X[:, j])) for j in range(3)],
+                    axis=1)
+    err = np.abs(Y - cols).max() / np.abs(cols).max()
+    assert err < 1e-5, err

@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ELLMatrix", "ell_matvec"]
+__all__ = ["ELLMatrix", "ell_matvec", "ell_matvec_multi"]
 
 # bandwidth above this is not auto-planned (window = 3R values in VMEM;
 # R=4096 -> 48 KB window at fp32, still tiny — the real cost of a large R
@@ -119,7 +119,8 @@ class ELLMatrix:
                 from tpufem.sparse.ell_pallas import auto_block_rows
                 # bw already scanned here — pass the derived block size so
                 # ell_band_plan doesn't rescan (same policy, one source)
-                self.prime_band_plan(auto_block_rows(bw, n))
+                self.prime_band_plan(
+                    auto_block_rows(bw, n, cols.shape[1]))
         except Exception as exc:
             # name the failure before pinning the gather fallback — a
             # silent swallow here is exactly the round-4 472 ms/V-cycle
@@ -189,6 +190,33 @@ class ELLMatrix:
     def __matmul__(self, x):
         return self.matvec(x)
 
+    def matvec_multi(self, X):
+        """Y = A X for X [n, q] — one matrix read for all q RHS.
+
+        Banded fast path: ell_matvec_pallas_multi streams the matrix
+        planes once per row-block across the q grid steps (the matrix is
+        the dominant HBM traffic at K~8-14 slots, so this approaches a
+        q-fold win over q single matvecs).  Feeds cg_fixed_block /
+        eigen's batched inner solves."""
+        band = self._resolve_band()
+        if band not in (None, "unresolved"):
+            from tpufem.sparse.ell_pallas import ell_matvec_pallas_multi
+            plan, data_dev, rel_dev = band
+            interp = jax.default_backend() != "tpu"
+
+            @jax.custom_jvp
+            def mvm(V):
+                return ell_matvec_pallas_multi(plan, data_dev, rel_dev, V,
+                                               interpret=interp)
+
+            @mvm.defjvp
+            def _mvm_jvp(primals, tangents):
+                (V,), (dV,) = primals, tangents
+                return mvm(V), mvm(dV)
+
+            return mvm(X)
+        return ell_matvec_multi(self.data, self.cols, X)
+
     def diagonal(self):
         """Diagonal extraction for Jacobi preconditioning."""
         if self.diag_pos is not None:
@@ -220,6 +248,11 @@ class ELLMatrix:
 def ell_matvec(data, cols, x):
     """y[i] = sum_k data[i, k] * x[cols[i, k]] — gather + row reduction."""
     return (data * x[cols]).sum(axis=1)
+
+
+def ell_matvec_multi(data, cols, X):
+    """Y[i, :] = sum_k data[i, k] * X[cols[i, k], :] — multi-RHS gather."""
+    return (data[..., None] * X[cols]).sum(axis=1)
 
 
 def reorder_ell(data, cols, perm):

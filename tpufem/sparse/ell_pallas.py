@@ -41,7 +41,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["ELLBandPlan", "ell_band_plan", "ell_matvec_pallas",
-           "bcsr_band_plan", "bcsr_matvec_pallas"]
+           "ell_matvec_pallas_multi", "bcsr_band_plan",
+           "bcsr_matvec_pallas"]
 
 
 from tpufem.utils.pallas_ctx import trace_ctx as _trace_ctx
@@ -80,15 +81,38 @@ class ELLBandPlan(NamedTuple):
 _D_NONE = 64
 
 
-def auto_block_rows(bw: int, n: int) -> int:
+def _vmem_params(K, sub, val_bytes, rel_bytes, planes=1):
+    """Mosaic compiler params with a scoped-VMEM limit sized to the
+    actual block footprint.  The default 16 MB scoped limit OOMs at
+    compile on fat-K matrices (Galerkin coarse level of the 1M-row AMG
+    hierarchy: K=51 at R=8192 needed 16.38 M, hw r5 phase 3) — size the
+    limit at ~6x the double-buffered data+index planes, clamped to
+    [32 MB, 100 MB] (v5e VMEM is 128 MB)."""
+    foot = K * planes * sub * 128 * (val_bytes + rel_bytes)
+    limit = min(100 << 20, max(32 << 20, 6 * foot))
+    return pltpu.CompilerParams(vmem_limit_bytes=int(limit))
+
+
+def auto_block_rows(bw: int, n: int, k: int = None) -> int:
     """The block-size policy (single source; used by ell_band_plan's
     block_rows=None and ELLMatrix auto-dispatch): as large as possible —
     the kernel is per-grid-step latency-bound (R-sweep, BENCH_NOTES r3:
     0.345 -> 0.113 ms at 1M rows going 1024 -> 8192) — capped at 8192
     (the int16 rel-index limit at 3R) and keeping >= 8 grid steps, while
-    always covering the bandwidth."""
-    return max(256, -(-bw // 128) * 128,
-               min(8192, -(-n // (8 * 128)) * 128))
+    always covering the bandwidth.
+
+    ``k`` (slot count, when known) caps K*sub <= 1024: Mosaic's scoped
+    VMEM stack scales with the per-block live set K * sub * 128, and a
+    fat-K matrix (Galerkin coarse levels — K=51 at the 1M-row AMG level 1)
+    at R=8192 blew the 16 MB scoped limit at compile (hw r5 phase 3).
+    Bandwidth coverage still wins when it must (the vmem_limit_bytes bump
+    in the pallas_calls is the rescue there)."""
+    r = max(256, -(-bw // 128) * 128,
+            min(8192, -(-n // (8 * 128)) * 128))
+    if k and k > 0:
+        cap = max(256, (1024 // int(k)) * 128)
+        r = min(r, max(cap, -(-bw // 128) * 128, 256))
+    return r
 
 
 def ell_band_plan(data, cols, *, block_rows: int = None,
@@ -111,7 +135,7 @@ def ell_band_plan(data, cols, *, block_rows: int = None,
         nn = c.shape[0]
         bw = int(np.abs(c.astype(np.int64)
                         - np.arange(nn)[:, None]).max()) if nn else 0
-        block_rows = auto_block_rows(bw, nn)
+        block_rows = auto_block_rows(bw, nn, c.shape[1])
     R = int(block_rows)
     if R % 128:
         raise ValueError("block_rows must be a multiple of 128")
@@ -215,20 +239,19 @@ def _segment_blocks(uniq, nb, K, max_segments):
     return None                                             # give up: global
 
 
-def _kernel(data_ref, rel_ref, xm_ref, x0_ref, xp_ref, o_ref, *, d_lists):
-    """One R-row block: data/rel [K, 1, sub, 128], x prev/cur/next
-    [1, sub, 128] each -> y [1, sub, 128].
+def _band_block_mv(data, rel_all, win, d_lists):
+    """Core banded block matvec: data [K, sub, 128], rel_all [K, sub, 128]
+    (window-relative positions), win [3*sub, 128] -> y [sub, 128].
 
     Delta alignment: shifted window copies win[sub+d : 2*sub+d] line each
     output sublane t up with window row sub+t+d, so one lane-gather + one
     select per delta covers the whole block."""
-    win = jnp.concatenate([xm_ref[0], x0_ref[0], xp_ref[0]], axis=0)
-    K = data_ref.shape[0]
-    sub = x0_ref.shape[1]
-    y = jnp.zeros_like(x0_ref[0])
+    K = data.shape[0]
+    sub = data.shape[1]
+    y = jnp.zeros(data.shape[1:], win.dtype)
     base = jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0) + sub
     for k in range(K):
-        rel = rel_ref[k, 0].astype(jnp.int32)   # rel may be int16 on HBM
+        rel = rel_all[k].astype(jnp.int32)      # rel may be int16 on HBM
         s_idx = rel // 128
         lane = rel - s_idx * 128
         acc = None
@@ -238,8 +261,28 @@ def _kernel(data_ref, rel_ref, xm_ref, x0_ref, xp_ref, o_ref, *, d_lists):
             hit = jnp.where(s_idx == base + d, g, 0.0)
             acc = hit if acc is None else acc + hit
         if acc is not None:
-            y = y + data_ref[k, 0] * acc
-    o_ref[0] = y
+            y = y + data[k] * acc
+    return y
+
+
+def _kernel(data_ref, rel_ref, xm_ref, x0_ref, xp_ref, o_ref, *, d_lists):
+    """One R-row block: data/rel [K, 1, sub, 128], x prev/cur/next
+    [1, sub, 128] each -> y [1, sub, 128]."""
+    win = jnp.concatenate([xm_ref[0], x0_ref[0], xp_ref[0]], axis=0)
+    o_ref[0] = _band_block_mv(data_ref[:, 0], rel_ref[:, 0], win, d_lists)
+
+
+def _kernel_multi(data_ref, rel_ref, xm_ref, x0_ref, xp_ref, o_ref, *,
+                  d_lists):
+    """Multi-RHS variant: x refs [1, 1, sub, 128] (one RHS slice of the
+    [q, nb, sub, 128] batch); data/rel as in _kernel.  Runs on a (nb, q)
+    grid with the data/rel index maps CONSTANT in q — Pallas skips the
+    HBM->VMEM copy when consecutive grid steps map to the same block, so
+    the matrix planes stream once per row-block, not once per RHS."""
+    win = jnp.concatenate([xm_ref[0, 0], x0_ref[0, 0], xp_ref[0, 0]],
+                          axis=0)
+    o_ref[0, 0] = _band_block_mv(data_ref[:, 0], rel_ref[:, 0], win,
+                                 d_lists)
 
 
 def _kernel_pb(tab_ref, data_ref, rel_ref, xm_ref, x0_ref, xp_ref, o_ref,
@@ -312,6 +355,8 @@ def ell_matvec_pallas(plan: ELLBandPlan, data_dev, rel_dev, x, *,
                            memory_space=pltpu.VMEM)
     dspec = pl.BlockSpec((K, 1, sub, 128), lambda j: (0, j, 0, 0),
                          memory_space=pltpu.VMEM)
+    cp = _vmem_params(K, sub, data_dev.dtype.itemsize,
+                      rel_dev.dtype.itemsize)
     with _trace_ctx(x.dtype):
         if per_block:
             dmax = int(plan.dtab.shape[2])
@@ -329,6 +374,7 @@ def ell_matvec_pallas(plan: ELLBandPlan, data_dev, rel_dev, x, *,
                 out_shape=jax.ShapeDtypeStruct((nb, sub, 128), x.dtype),
                 scratch_shapes=[pltpu.VMEM((sub, 128), x.dtype)],
                 interpret=interpret,
+                compiler_params=cp,
             )(jnp.asarray(plan.dtab), d3, r3, x3, x3, x3)
         elif segmented:
             # one static kernel per contiguous block range; x neighbor
@@ -370,6 +416,7 @@ def ell_matvec_pallas(plan: ELLBandPlan, data_dev, rel_dev, x, *,
                     out_shape=jax.ShapeDtypeStruct((ns_, sub, 128),
                                                    x.dtype),
                     interpret=interpret,
+                    compiler_params=cp,
                 )(d3, r3, x3, x3, x3))
             y = jnp.concatenate(parts, axis=0)
         else:
@@ -382,8 +429,97 @@ def ell_matvec_pallas(plan: ELLBandPlan, data_dev, rel_dev, x, *,
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((nb, sub, 128), x.dtype),
                 interpret=interpret,
+                compiler_params=cp,
             )(d3, r3, x3, x3, x3)
     return y.reshape(-1)[:plan.n]
+
+
+def ell_matvec_pallas_multi(plan: ELLBandPlan, data_dev, rel_dev, X, *,
+                            interpret: bool = False, segmented=None):
+    """Y = A X for X [N, q] with the banded kernel — q RHS per matrix read.
+
+    Grid is (nb, q) with q innermost and the data/rel BlockSpec index maps
+    constant in q: the Pallas pipeline skips refetching a block whose index
+    map returns the same block id on consecutive steps, so the matrix
+    planes (the dominant HBM traffic at K ~ 8-14 slots vs one x vector)
+    stream ONCE per row-block instead of once per RHS.  This is the
+    multi-vector SpMV behind cg_fixed_block / eigen's batched inner solves
+    (VERDICT r4 item 7)."""
+    if X.ndim != 2:
+        raise ValueError("ell_matvec_pallas_multi expects X [N, q]")
+    q = X.shape[1]
+    R = plan.block_rows
+    sub = R // 128
+    nb = plan.np_rows // R
+    K = plan.width
+    Xp = X
+    if X.shape[0] != plan.np_rows:
+        Xp = jnp.pad(X, ((0, plan.np_rows - X.shape[0]), (0, 0)))
+    # [q, nb, sub, 128]
+    x4 = jnp.moveaxis(Xp.reshape(nb, sub, 128, q), -1, 0)
+    d3 = data_dev.reshape(K, nb, sub, 128)
+    r3 = rel_dev.reshape(K, nb, sub, 128)
+    if segmented is None:
+        segmented = plan.segments is not None
+    cp = _vmem_params(K, sub, data_dev.dtype.itemsize,
+                      rel_dev.dtype.itemsize)
+
+    def xspec(off):
+        def imap(j, qi, off=off):
+            jj = jnp.clip(j + off, 0, nb - 1)
+            return (qi, jj, 0, 0)
+        return pl.BlockSpec((1, 1, sub, 128), imap,
+                            memory_space=pltpu.VMEM)
+
+    with _trace_ctx(X.dtype):
+        if segmented:
+            parts = []
+            for (s, e, dl) in plan.segments:
+                ns_ = e - s
+                kern = functools.partial(_kernel_multi, d_lists=dl)
+
+                def xspec_s(off, s=s):
+                    def imap(j, qi, off=off, s=s):
+                        jj = jnp.clip(j + s + off, 0, nb - 1)
+                        return (qi, jj, 0, 0)
+                    return pl.BlockSpec((1, 1, sub, 128), imap,
+                                        memory_space=pltpu.VMEM)
+
+                dspec_s = pl.BlockSpec(
+                    (K, 1, sub, 128), lambda j, qi, s=s: (0, j + s, 0, 0),
+                    memory_space=pltpu.VMEM)
+                parts.append(pl.pallas_call(
+                    kern,
+                    grid=(ns_, q),
+                    in_specs=[dspec_s, dspec_s, xspec_s(-1), xspec_s(0),
+                              xspec_s(+1)],
+                    out_specs=pl.BlockSpec((1, 1, sub, 128),
+                                           lambda j, qi: (qi, j, 0, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((q, ns_, sub, 128),
+                                                   X.dtype),
+                    interpret=interpret,
+                    compiler_params=cp,
+                )(d3, r3, x4, x4, x4))
+            y = jnp.concatenate(parts, axis=1)
+        else:
+            kern = functools.partial(_kernel_multi, d_lists=plan.d_lists)
+            dspec_m = pl.BlockSpec((K, 1, sub, 128),
+                                   lambda j, qi: (0, j, 0, 0),
+                                   memory_space=pltpu.VMEM)
+            y = pl.pallas_call(
+                kern,
+                grid=(nb, q),
+                in_specs=[dspec_m, dspec_m, xspec(-1), xspec(0), xspec(+1)],
+                out_specs=pl.BlockSpec((1, 1, sub, 128),
+                                       lambda j, qi: (qi, j, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((q, nb, sub, 128), X.dtype),
+                interpret=interpret,
+                compiler_params=cp,
+            )(d3, r3, x4, x4, x4)
+    # [q, nb, sub, 128] -> [N, q]
+    return jnp.moveaxis(y.reshape(q, -1), 0, -1)[:plan.n]
 
 
 # -- block (BCSR) variant ------------------------------------------------------
@@ -495,6 +631,8 @@ def bcsr_matvec_pallas(plan: ELLBandPlan, data_dev, rel_dev, x, *,
     x4 = x.reshape(b, nb, sub, 128)
     d5 = data_dev.reshape(K, b, b, nb, sub, 128)
     r3 = rel_dev.reshape(K, nb, sub, 128)
+    cp = _vmem_params(K, sub, data_dev.dtype.itemsize,
+                      rel_dev.dtype.itemsize, planes=b * b)
     if per_block is None:
         per_block = False      # 6.5x slower on hardware (BENCH_NOTES r3)
 
@@ -542,5 +680,6 @@ def bcsr_matvec_pallas(plan: ELLBandPlan, data_dev, rel_dev, x, *,
             out_shape=jax.ShapeDtypeStruct((nb, b, sub, 128), x.dtype),
             scratch_shapes=scratch,
             interpret=interpret,
+            compiler_params=cp,
         )(*args)
     return jnp.moveaxis(y, 1, 0).reshape(b, -1)[:, :plan.n]
