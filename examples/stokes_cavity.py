@@ -29,11 +29,18 @@ def lid(X):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=96,
-                    help="cells per side (96 -> ~75k velocity DOFs)")
-    ap.add_argument("--tol", type=float, default=1e-8)
+                    help="cells per side (96 -> ~75k velocity DOFs; "
+                    "512 -> ~2.1M)")
+    ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--viscosity", type=float, default=1.0)
-    ap.add_argument("--f32", action="store_true",
-                    help="solve in float32 (default float64)")
+    ap.add_argument("--f64", action="store_true",
+                    help="solve in float64 (default float32 — fp64 is "
+                    "emulated and slow on TPU)")
+    ap.add_argument("--vprecond", choices=["amg", "jacobi"],
+                    default="amg",
+                    help="velocity-block preconditioner: amg = one "
+                    "scalar-AMG V-cycle per component (mesh-robust "
+                    "MINRES iterations); jacobi = diag(A)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -46,8 +53,9 @@ def main(argv=None):
     t_mesh = time.perf_counter() - t0
 
     sol = solve_stokes(mesh, bc_velocity=lid, viscosity=args.viscosity,
-                       dtype=jnp.float32 if args.f32 else jnp.float64,
-                       tol=args.tol, maxiter=50_000)
+                       dtype=jnp.float64 if args.f64 else jnp.float32,
+                       tol=args.tol, maxiter=50_000,
+                       velocity_precond=args.vprecond)
 
     u = np.asarray(sol.u).reshape(-1, 2)
     X = sol.V.scalar_dof_coords
@@ -57,6 +65,8 @@ def main(argv=None):
 
     out = {
         "metric": "stokes_cavity_taylor_hood_minres",
+        "dtype": "float64" if args.f64 else "float32",
+        "vprecond": args.vprecond,
         "velocity_dofs": sol.V.num_dofs,
         "pressure_dofs": sol.Q.num_scalar_dofs,
         "minres_iters": int(sol.res.iterations),

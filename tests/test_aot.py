@@ -109,3 +109,30 @@ def test_donated_args_roundtrip(cache):
     out2 = np.asarray(c2(jnp.ones((16,), jnp.float32), a))
     np.testing.assert_array_equal(out1, out2)
     np.testing.assert_allclose(out1, 5.0)
+
+
+def test_first_exec_recorded(tmp_path):
+    """The returned executable records its FIRST execution wall into the
+    stats record — the axon server defers load/compile work to first use,
+    which load_s cannot see (BENCH_r04: 458.9 s wall on a 0.1 s hit)."""
+    import jax.numpy as jnp
+
+    from tpufem.utils.aot import CompiledCache
+
+    cache = CompiledCache(directory=str(tmp_path))
+    fn = lambda x: x * 2.0 + 1.0
+    x = jnp.arange(8, dtype=jnp.float32)
+    run = cache.get(fn, (x,), tag="t")
+    assert "first_exec_s" not in cache.stats["t"]
+    run(x)
+    assert cache.stats["t"]["first_exec_s"] >= 0.0
+    run(x)   # second call: record unchanged (only first is timed)
+    first = cache.stats["t"]["first_exec_s"]
+    run(x)
+    assert cache.stats["t"]["first_exec_s"] == first
+    # hit path records too
+    cache2 = CompiledCache(directory=str(tmp_path))
+    run2 = cache2.get(fn, (x,), tag="t")
+    assert cache2.stats["t"]["event"] == "hit"
+    run2(x)
+    assert "first_exec_s" in cache2.stats["t"]

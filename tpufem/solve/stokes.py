@@ -49,7 +49,8 @@ from tpufem.forms.weakform import WeakForm
 from tpufem.mesh.core import Mesh
 from tpufem.solve.minres import MinresResult, minres
 
-__all__ = ["StokesSolution", "StokesOperator", "build_stokes", "solve_stokes"]
+__all__ = ["StokesSolution", "StokesOperator", "build_stokes",
+           "build_velocity_amg", "solve_stokes"]
 
 
 class StokesSolution(NamedTuple):
@@ -211,11 +212,71 @@ def build_stokes(mesh: Mesh, *, viscosity: float = 1.0, dtype=jnp.float64):
     return op, V, Q
 
 
+def build_velocity_amg(mesh: Mesh, V: FunctionSpace, *,
+                       viscosity: float = 1.0, dtype=jnp.float64,
+                       **amg_kw):
+    """Scalar-AMG preconditioner pieces for the velocity block.
+
+    The velocity block A is nu x the VECTOR P2 Laplacian with independent
+    components, so one smoothed-aggregation hierarchy on the SCALAR P2
+    Laplacian (same viscosity, same Dirichlet rows) preconditions every
+    component: diag(A)^-1 keeps MINRES iterations growing ~1/h with
+    refinement, one V-cycle per component keeps them flat (VERDICT r4
+    item 6).  The scalar DOFs are RCM-renumbered first so the hierarchy's
+    SpMVs ride the banded Pallas kernel; the permutation is conjugated
+    into the preconditioner (z = P^T V-cycle(P r) — symmetry preserved).
+
+    Returns ``(hier, perm, inv)`` — all jit-argument-safe pytrees/arrays.
+    """
+    from tpufem.assemble.ell import assemble_ell
+    from tpufem.mesh.adjacency import ell_pattern, reverse_cuthill_mckee
+    from tpufem.solve.amg import build_amg
+    from tpufem.solve.bc import apply_dirichlet_ell
+
+    Vs = FunctionSpace(mesh, degree=V.element.degree)   # scalar twin:
+    # identical scalar DOF numbering to V's (same construction path)
+    wf = WeakForm(Vs)
+    wf.build(lambda u, v: float(viscosity) * inner(grad(u), grad(v)))
+    wf.dtype = dtype
+    ec = jnp.asarray(mesh.element_coords(), dtype)
+    Ke_s = wf.element_matrices(ec)                      # [NE, nls, nls]
+
+    cols0 = ell_pattern(Vs.scalar_dof_conn, Vs.num_scalar_dofs,
+                        with_sort_plan=False).cols
+    perm = reverse_cuthill_mckee(cols0)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=perm.dtype)
+    conn_p = inv[Vs.scalar_dof_conn].astype(Vs.scalar_dof_conn.dtype)
+    pat = ell_pattern(conn_p, Vs.num_scalar_dofs, pad_to=8)
+    A_s = assemble_ell(pat, Ke_s)
+    flags_p = jnp.asarray(Vs.scalar_dof_flags[perm])
+    A_s, _ = apply_dirichlet_ell(
+        A_s, jnp.zeros(Vs.num_scalar_dofs, dtype), flags_p)
+    A_s.resolve_band()
+    hier = build_amg(A_s, **amg_kw)
+    return hier, jnp.asarray(perm), jnp.asarray(inv)
+
+
+def velocity_amg_precond(op: StokesOperator, hier, perm, inv, d: int):
+    """SPD block preconditioner: scalar V-cycle per velocity component
+    (conjugated by the RCM permutation), lumped mass on pressure."""
+    def M(r):
+        ru, rp = r[:op.nv], r[op.nv:]
+        rs = ru.reshape(-1, d)                           # [nsd, d]
+        zs = jnp.stack([hier.apply(rs[:, c][perm])[inv]
+                        for c in range(d)], axis=-1)
+        zp = op._proj_p(rp / op.mp_lumped)
+        return jnp.concatenate([zs.reshape(-1), zp])
+    return M
+
+
 def solve_stokes(mesh: Mesh, *, body_force: Optional[Callable] = None,
                  bc_velocity: Optional[Callable] = None,
                  viscosity: float = 1.0, dtype=jnp.float64,
                  tol: float = 1e-8, maxiter: int = 20_000,
-                 check_every: int = 4) -> StokesSolution:
+                 check_every: int = 4,
+                 velocity_precond: str = "jacobi",
+                 amg_kw: Optional[dict] = None) -> StokesSolution:
     """Assemble + solve Stokes with block-preconditioned MINRES.
 
     ``body_force``: callable x[..., d] -> f[..., d] (None = 0).
@@ -223,6 +284,9 @@ def solve_stokes(mesh: Mesh, *, body_force: Optional[Callable] = None,
     velocity DOF coordinates (None = no-slip everywhere).  Taylor-Hood
     places velocity DOFs at vertices AND edge midpoints, so the callable
     sees both.
+    ``velocity_precond``: "jacobi" = diag(A)^-1 (iterations grow ~1/h);
+    "amg" = one scalar-AMG V-cycle per velocity component
+    (mesh-robust iteration counts; build_velocity_amg).
     """
     import time
 
@@ -254,16 +318,33 @@ def solve_stokes(mesh: Mesh, *, body_force: Optional[Callable] = None,
         u_bc = jnp.zeros(V.num_dofs, dtype)
     walls["build"] = time.perf_counter() - t0
 
-    def solve_fn(f_v, u_bc, op):
-        b = op.rhs(f_v, u_bc)
-        return minres(op.matvec, b, tol=tol, maxiter=maxiter,
-                      M=op.precond, check_every=check_every)
+    d = mesh.dim
+    if velocity_precond == "amg":
+        t0 = time.perf_counter()
+        hier, perm, inv = build_velocity_amg(
+            mesh, V, viscosity=viscosity, dtype=dtype, **(amg_kw or {}))
+        walls["precond_setup"] = time.perf_counter() - t0
+
+        def solve_fn(f_v, u_bc, op, hp):
+            b = op.rhs(f_v, u_bc)
+            M = velocity_amg_precond(op, *hp, d)
+            return minres(op.matvec, b, tol=tol, maxiter=maxiter,
+                          M=M, check_every=check_every)
+
+        args = (f_v, u_bc, op, (hier, perm, inv))
+    else:
+        def solve_fn(f_v, u_bc, op):
+            b = op.rhs(f_v, u_bc)
+            return minres(op.matvec, b, tol=tol, maxiter=maxiter,
+                          M=op.precond, check_every=check_every)
+
+        args = (f_v, u_bc, op)
 
     t0 = time.perf_counter()
-    compiled = jax.jit(solve_fn).lower(f_v, u_bc, op).compile()
+    compiled = jax.jit(solve_fn).lower(*args).compile()
     walls["solve_compile"] = time.perf_counter() - t0
     t0 = time.perf_counter()
-    res = compiled(f_v, u_bc, op)
+    res = compiled(*args)
     jax.block_until_ready(res.x)
     walls["solve"] = time.perf_counter() - t0
 

@@ -57,6 +57,35 @@ def _enabled() -> bool:
     return os.environ.get("TPUFEM_AOT_CACHE", "1") != "0"
 
 
+class _FirstCallTimer:
+    """Delegating wrapper that records the wall of the FIRST execution.
+
+    Under the axon relay a cache hit deserializes in ~0.1 s but the first
+    execution can still pay 100s of seconds — the server-side load/compile
+    of the executable is deferred to first use, and nothing in the client
+    stats could see it (BENCH_r04: build_system_wall 458.9 s WITH an AOT
+    hit, load_s 0.1; VERDICT r4 item 3).  ``first_exec_s`` in the stats
+    record makes that wall attributable: load_s = client deserialize,
+    first_exec_s = server-side deferred work + one real execution.
+    """
+
+    def __init__(self, inner, rec: dict):
+        self._inner = inner
+        self._rec = rec
+
+    def __call__(self, *a, **kw):
+        if "first_exec_s" not in self._rec:
+            t0 = time.perf_counter()
+            out = self._inner(*a, **kw)
+            jax.block_until_ready(out)
+            self._rec["first_exec_s"] = round(time.perf_counter() - t0, 2)
+            return out
+        return self._inner(*a, **kw)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
 @dataclass
 class CompiledCache:
     """Disk cache of serialized XLA executables, keyed by lowered program."""
@@ -81,10 +110,10 @@ class CompiledCache:
             t_lower = time.perf_counter() - t0
             t0 = time.perf_counter()
             compiled = lowered.compile()
-            self.stats[tag or fn.__name__] = {
-                "event": "disabled", "lower_s": round(t_lower, 2),
-                "compile_s": round(time.perf_counter() - t0, 2)}
-            return compiled
+            rec = {"event": "disabled", "lower_s": round(t_lower, 2),
+                   "compile_s": round(time.perf_counter() - t0, 2)}
+            self.stats[tag or fn.__name__] = rec
+            return _FirstCallTimer(compiled, rec)
 
         t0 = time.perf_counter()
         # key on the traced JAXPR, not the lowered StableHLO: pallas_call
@@ -136,11 +165,11 @@ class CompiledCache:
                 loaded = se.deserialize_and_load(
                     payload, in_tree, out_tree,
                     execution_devices=exec_devs)
-                self.stats[tag or fn.__name__] = {
-                    "event": "hit", "lower_s": round(t_lower, 2),
-                    "key_s": round(t_key, 2),
-                    "load_s": round(time.perf_counter() - t0, 2)}
-                return loaded
+                rec = {"event": "hit", "lower_s": round(t_lower, 2),
+                       "key_s": round(t_key, 2),
+                       "load_s": round(time.perf_counter() - t0, 2)}
+                self.stats[tag or fn.__name__] = rec
+                return _FirstCallTimer(loaded, rec)
             except Exception as e:          # corrupt/incompatible: recompile
                 load_failure = type(e).__name__
                 try:
@@ -171,7 +200,7 @@ class CompiledCache:
         except Exception as e:              # serialization unsupported here
             rec["save_failed"] = type(e).__name__
         self.stats[tag or fn.__name__] = rec
-        return compiled
+        return _FirstCallTimer(compiled, rec)
 
 
 _BIG_CONST = 1 << 22            # 4 MB
