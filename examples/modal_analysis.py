@@ -94,19 +94,24 @@ def main(argv=None):
     jax.block_until_ready(A.data)
     t_asm = time.perf_counter() - t0
 
-    kw = dict(lumped_mass=mL, M=jacobi(A), bc_mask=bc,
-              inner_iters=args.inner, outer_iters=args.outer,
-              buffer=args.buffer, dtype=ec.dtype)
-    if not args.serial:
-        kw["matvec_multi"] = A.matvec_multi
+    # A/mL/bc enter the jitted program as ARGUMENTS, never by closure —
+    # a captured ELLMatrix is baked into the lowered HLO as constants
+    # (~100s of MB at this scale, minutes of lowering; BENCH_NOTES r4)
+    def run_fn(A, mL, bc):
+        kw = dict(lumped_mass=mL, M=jacobi(A), bc_mask=bc,
+                  inner_iters=args.inner, outer_iters=args.outer,
+                  buffer=args.buffer, dtype=ec.dtype)
+        if not args.serial:
+            kw["matvec_multi"] = A.matvec_multi
+        return smallest_eigenpairs(A.matvec, nn, args.k, **kw)
 
-    run = jax.jit(lambda: smallest_eigenpairs(A.matvec, nn, args.k, **kw))
+    run = jax.jit(run_fn)
     t0 = time.perf_counter()
-    res = run()
+    res = run(A, mL, bc)
     jax.block_until_ready(res.eigenvalues)
     t_wall = time.perf_counter() - t0
     t0 = time.perf_counter()
-    res = run()
+    res = run(A, mL, bc)
     jax.block_until_ready(res.eigenvalues)
     t_solve = time.perf_counter() - t0
 

@@ -53,13 +53,16 @@ def main(argv=None):
     steps = int(round(spp * args.periods))
     dt = args.periods * period / steps
 
-    run = jax.jit(lambda u: leapfrog_wave(
+    # K/mL/mask ride the jit boundary as ARGUMENTS — a closure-captured
+    # ELLMatrix is baked into the lowered HLO as constants (~50 MB at
+    # 1M DOFs, minutes of lowering; BENCH_NOTES r4)
+    run = jax.jit(lambda K, mL, mask, u: leapfrog_wave(
         K.matvec, mL, u, jnp.zeros(V.num_dofs), dt, steps=steps,
         bc_mask=mask))
-    res = run(u0)                       # compile + run
+    res = run(K, mL, mask, u0)          # compile + run
     res.u.block_until_ready()
     t0 = time.perf_counter()
-    res = run(u0)
+    res = run(K, mL, mask, u0)
     res.u.block_until_ready()
     wall = time.perf_counter() - t0
 
