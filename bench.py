@@ -143,8 +143,18 @@ def main():
         inv_d = jnp.where(d != 0, 1.0 / d, 1.0)
         return A.data, b, inv_d
 
-    with timer("build_system_wall"):
+    # The one-time wall, DECOMPOSED (VERDICT r4 item 3): _load = trace +
+    # client-side cache load (or compile on miss); _first_exec = first
+    # execution, where the axon server pays its deferred load/compile of
+    # the executable (458.9 s on a 0.1 s HIT in BENCH_r04 — invisible to
+    # every client-side stat until now); _warm = steady-state call.  The
+    # total equals the old build_system_wall.
+    with timer("build_system_load"):
         build_system_x = aot.get(build_system, (X,), tag="build_system")
+    with timer("build_system_first_exec"):
+        data, b, inv_d = build_system_x(X)
+        _ = float(b[0])
+    with timer("build_system_warm"):
         data, b, inv_d = build_system_x(X)
         _ = float(b[0])
 
