@@ -330,7 +330,7 @@ jax.tree_util.register_pytree_node(AMGHierarchy, _amg_hier_flatten,
                                    _amg_hier_unflatten)
 
 
-def _prime_wide(M: ELLMatrix, cols_np):
+def _prime_wide(M: ELLMatrix, cols_np, segment: bool = True):
     """Resolve M's banded Pallas plan NOW — wide bands included.
 
     Every hierarchy matrix must have its plan built at SETUP time: the
@@ -359,11 +359,24 @@ def _prime_wide(M: ELLMatrix, cols_np):
                     - np.arange(n, dtype=np.int64)[:, None]).max())
     if bw > _AUTO_BAND_MAX:
         try:
-            M.prime_band_plan()
+            M.prime_band_plan(segment=segment)
         except Exception:
             pass                  # fall back to gather (still correct)
-    else:
+    elif segment:
         M.resolve_band()
+    else:
+        # coarse-level operators: single-global-kernel plan — their
+        # matvecs are emitted 2^l times into an unrolled W-cycle, and the
+        # per-segment Pallas payloads dominated executable size (262 MB /
+        # 358 s server compile for interval-V at 501k rows, hw r5).
+        # Runtime cost is a few extra gather rounds on levels that carry
+        # ~1/s^2 of the work.
+        from tpufem.sparse.ell_pallas import auto_block_rows
+        try:
+            M.prime_band_plan(
+                auto_block_rows(bw, n, cols_np.shape[1]), segment=False)
+        except Exception:
+            M.resolve_band()
 
 
 def _diag_of(data, cols):
@@ -529,7 +542,7 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
     nnz_total = nnz0
     fine_A = A
 
-    for _ in range(max_levels):
+    for level_idx in range(max_levels):
         n = data.shape[0]
         if n <= coarse_n:
             break
@@ -607,7 +620,7 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
         # finest included — idempotent if the caller already primed it):
         # lazy resolution is impossible once the hierarchy crosses a jit
         # boundary as an argument (see _prime_wide)
-        _prime_wide(Adev, cols)
+        _prime_wide(Adev, cols, segment=(level_idx == 0))
         fine_A = None
         if aggregation == "interval":
             # transfers applied matrix-free (repeat/reshape + banded SpMV).
@@ -628,8 +641,8 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
                 Rop = ELLMatrix(jnp.asarray(rop.astype(dtype)), cols_dev)
                 Pop = ELLMatrix(jnp.asarray(pop.astype(dtype)), cols_dev)
                 if jax.default_backend() == "tpu":
-                    _prime_wide(Rop, cols)
-                    _prime_wide(Pop, cols)
+                    _prime_wide(Rop, cols, segment=(level_idx == 0))
+                    _prime_wide(Pop, cols, segment=(level_idx == 0))
                 else:
                     Rop._band = Pop._band = None    # gather on CPU
             levels.append(AMGLevel(
@@ -656,8 +669,8 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
             Qr = ELLMatrix(jnp.asarray(qr_data.astype(dtype)),
                            jnp.asarray(qr_cols))
             if jax.default_backend() == "tpu":
-                _prime_wide(Qp, qp_cols)
-                _prime_wide(Qr, qr_cols)
+                _prime_wide(Qp, qp_cols, segment=(level_idx == 0))
+                _prime_wide(Qr, qr_cols, segment=(level_idx == 0))
             else:
                 # interpreted Pallas on CPU costs ~30x the gather: pin the
                 # transfer matvecs to the gather there (identical numerics;

@@ -470,11 +470,22 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
                                   np.swapaxes(pv, 1, 2), ns)
         r_data, r_cols = _bcoo_to_bell(rr, rc_, rv, nc)
 
+        # setup-time plans: tracer cols can't resolve inside jit.  The
+        # finest level keeps the measured-fast segmented config (hw r5
+        # phase 4: 0.42 ms/iter); coarse Galerkin levels are fat-K, so
+        # cap K*sub against the Mosaic VMEM stack and skip segmentation
+        # (their per-matvec payloads would dominate executable size)
+        A_lvl = BCSRMatrix(jnp.asarray(data.astype(dtype)),
+                           jnp.asarray(cols.astype(np.int32)))
+        if level == 0 and jax.default_backend() == "tpu":
+            A_lvl.resolve_band()
+        elif jax.default_backend() == "tpu":
+            try:
+                A_lvl.prime_band_plan(segment=False, cap_k=True)
+            except Exception:
+                A_lvl.resolve_band()
         levels.append(BlockAMGLevel(
-            A=BCSRMatrix(jnp.asarray(data.astype(dtype)),
-                         jnp.asarray(cols.astype(np.int32))
-                         ).resolve_band(),   # setup-time plan: tracer cols
-                                             # can't resolve inside jit
+            A=A_lvl,
             inv_diag=jnp.asarray(Dinv.astype(dtype)),
             lmax=lmax,
             p_data=jnp.asarray(p_data.astype(dtype)),

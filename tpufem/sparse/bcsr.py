@@ -109,9 +109,17 @@ class BCSRMatrix:
         self._resolve_band()
         return self
 
-    def prime_band_plan(self, block_rows=None):
+    def prime_band_plan(self, block_rows=None, segment: bool = True,
+                        cap_k: bool = False):
         """Build + cache the banded block plan unconditionally (any
-        bandwidth — the plan picks a covering block size)."""
+        bandwidth — the plan picks a covering block size).
+
+        ``segment=False``: single-global-kernel plan (one Pallas payload
+        per matvec — see ELLMatrix.prime_band_plan).  ``cap_k``: apply
+        the K*sub VMEM-stack cap with the block's K*b*b effective plane
+        count — for fat-K Galerkin coarse levels; the FINE elasticity
+        matrix measured best uncapped (K*b*b = 56 planes at R = 8192,
+        0.42 ms/iter, hw r5 phase 4)."""
         import numpy as np
 
         from tpufem.sparse.ell_pallas import (auto_block_rows,
@@ -121,13 +129,12 @@ class BCSRMatrix:
             nr = cols.shape[0]
             bw = int(np.abs(cols.astype(np.int64)
                             - np.arange(nr)[:, None]).max()) if nr else 0
-            # no K cap here: the block kernel at K*b*b = 56 planes and
-            # R = 8192 compiles and runs at 0.42 ms/iter on hardware
-            # (hw r5 phase 4) — the vmem_limit_bytes bump in the pallas
-            # calls covers fat-K coarse levels
-            block_rows = auto_block_rows(bw, nr)
+            b = int(np.asarray(self.data).shape[2])
+            block_rows = auto_block_rows(
+                bw, nr, cols.shape[1] * b * b if cap_k else None)
         plan, data_t = bcsr_band_plan(np.asarray(self.data), cols,
-                                      block_rows=block_rows)
+                                      block_rows=block_rows,
+                                      segment=segment)
         with jax.ensure_compile_time_eval():
             self._band = (plan, jnp.asarray(data_t), jnp.asarray(plan.rel))
         return self

@@ -142,7 +142,7 @@ class ELLMatrix:
         self._resolve_band()
         return self
 
-    def prime_band_plan(self, block_rows=None):
+    def prime_band_plan(self, block_rows=None, segment: bool = True):
         """Build + cache the banded Pallas plan UNCONDITIONALLY.
 
         Unlike the automatic dispatch (which declines when the bandwidth
@@ -151,10 +151,17 @@ class ELLMatrix:
         systems (e.g. 3D unstructured at ~1M DOFs, RCM bandwidth ~ n^(2/3))
         where the silent gather fallback would cost ~500x.  Raises on
         failure instead of falling back.
+
+        ``segment=False`` builds the single-global-kernel plan: one Pallas
+        payload per matvec instead of up to 16.  Right for matrices whose
+        matvecs are emitted MANY times into one program (AMG coarse
+        levels inside an unrolled V/W-cycle: the interval-V hierarchy at
+        501k rows serialized to a 262 MB executable / 358 s server
+        compile, hw r5 phase 5) at a small per-step round cost.
         """
         from tpufem.sparse.ell_pallas import ell_band_plan
         plan = ell_band_plan(np.asarray(self.data), np.asarray(self.cols),
-                             block_rows=block_rows)
+                             block_rows=block_rows, segment=segment)
         # resolution may happen while tracing (matvec called on a
         # tracer x with concrete A captured by closure): force the
         # cached device arrays to stay concrete, not trace-staged
