@@ -240,3 +240,44 @@ def test_distributed_bcsr_solve_elasticity(cpu_devices):
              M=block_jacobi(A.diagonal_blocks()))
     np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
                                rtol=0, atol=1e-8)
+
+
+def test_sharded_leapfrog_matches_single_device(cpu_devices):
+    """dist.dynamics.leapfrog_wave_sharded == solve.dynamics.leapfrog_wave
+    trajectory on the same stencil system (8-way row stripes), and the
+    discrete-energy invariant survives the distribution."""
+    from tpufem.dist.dynamics import leapfrog_wave_sharded
+    from tpufem.solve.dynamics import leapfrog_wave
+    from tpufem.sparse.stencil import stencil_matvec
+
+    mesh, A, _ = _poisson_stencil_system(n=24)
+    nn = mesh.num_nodes
+    bc = jnp.asarray(mesh.node_flags != 0)
+    c = mesh.coords
+    u0 = jnp.asarray(np.sin(np.pi * (c[:, 0] + 3) / 6)
+                     * np.sin(np.pi * (c[:, 1] + 3) / 6))
+    u0 = jnp.where(bc, 0.0, u0)
+    mL = jnp.ones(nn, u0.dtype) * 0.5
+    dt, steps = 1e-3, 25
+
+    ref = leapfrog_wave(lambda u: stencil_matvec(A.data, A.offsets, u),
+                        mL, u0, jnp.zeros(nn), dt, steps, bc_mask=bc)
+
+    dmesh = _mesh8(cpu_devices)
+    diag_k = A.offsets.index(0)
+    data_p, u0_p, n_orig = pad_rows(A.data, u0, A.offsets, 8, diag_k)
+    npad = u0_p.shape[0]
+    mL_p = jnp.concatenate([mL, jnp.ones(npad - nn, mL.dtype)])
+    bc_p = jnp.concatenate([bc, jnp.ones(npad - nn, bool)])
+    res = leapfrog_wave_sharded(data_p, A.offsets, mL_p, u0_p,
+                                jnp.zeros(npad), dt, steps, dmesh,
+                                bc_mask=bc_p)
+    u_s = np.asarray(res.u)[:n_orig]
+    du = np.abs(u_s - np.asarray(ref.u)).max()
+    scale = max(np.abs(np.asarray(ref.u)).max(), 1e-30)
+    assert du / scale < 1e-10, du / scale
+    e = np.asarray(res.energy)
+    e_ref = np.asarray(ref.energy)
+    assert np.abs(e - e_ref).max() / abs(e_ref[0]) < 1e-9
+    drift = np.abs(e - e[0]).max() / abs(e[0])
+    assert drift < 1e-9, drift
