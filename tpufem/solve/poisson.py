@@ -158,12 +158,13 @@ def solve_poisson_ell(mesh: Mesh, f: Optional[Callable] = None, *,
     Gershgorin lmax) | "amg" (strength-filtered greedy SA V-cycle with
     banded-embedded transfers, solve.amg — mesh-robust iteration
     counts).  Defaults to the legacy ``precondition`` bool (Jacobi).
-    For end-to-end solve time at ~1M rows on a v5e, "chebyshev" is the
-    measured winner (551 ms vs AMG's 12.3 s despite 26-vs-244
-    iterations — each multi-level cycle costs ~40 banded-SpMV
-    dispatches; round-4 hardware A/B in BENCH_NOTES.md); "amg" wins
-    when iteration count is the budget (ill-conditioned, anisotropic,
-    or high-order operators).  "amg" implies the RCM-reordered
+    For solve time at ~1M rows on a v5e, "amg" is the measured winner
+    (round-5 hardware A/B, BENCH_NOTES.md): 221 ms / 26 iterations vs
+    "chebyshev" 549 ms / 244 — the round-4 verdict inverted once every
+    hierarchy level's SpMV actually rode the banded kernel (VMEM-limit
+    fix).  "chebyshev" still wins single-shot end-to-end (its setup is
+    ~0 s vs AMG's ~55 s hierarchy build at 1M rows) and remains the
+    right choice when the operator is solved once.  "amg" implies the RCM-reordered
     path (its interval aggregation requires band ordering), regardless
     of ``matvec``.  With "amg"/"chebyshev" the pallas path iterates on
     an ELLMatrix whose banded plan is primed explicitly (honoring
@@ -199,11 +200,12 @@ def solve_poisson_ell(mesh: Mesh, f: Optional[Callable] = None, *,
 
     def _build_M(Ap):
         if precond == "amg":
-            # Measured default (round-4 hardware A/B, BENCH_NOTES): greedy
-            # strength-filtered SA with banded-embedded transfers — the only
-            # AMG config that both converges mesh-independently (26 iters at
-            # 1M rows) and runs clean on the chip.  interval-W faulted on
-            # TPU at 1M rows and is opt-in via build_amg directly.
+            # Measured default (round-5 hardware A/B, BENCH_NOTES): greedy
+            # strength-filtered SA with banded-embedded transfers — converges
+            # mesh-independently (26 iters / 221 ms solve at 1M rows, 2.5x
+            # Chebyshev).  interval V/W also runs clean at 1M since the
+            # round-5 VMEM-limit fix but is slower there (1.31 s / 12.3 s);
+            # it remains opt-in via build_amg directly.
             from tpufem.solve.amg import build_amg
             return build_amg(Ap, aggregation="greedy", strength=0.08,
                              cycle="V").apply
