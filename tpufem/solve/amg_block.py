@@ -31,9 +31,19 @@ Design (TPU-first, mirroring solve/amg.py):
   smoothers, Galerkin coarse operators, exact coarsest solve) — a valid
   CG preconditioner.
 
-Transfers apply as node-level block-ELL gathers — b x fewer index loads
-than a scalar formulation; the banded-embedding trick of solve/amg.py
-needs square blocks and is left to a future round for the b != m levels.
+* **Banded-embedded transfers** (``transfer="banded"``, default): the
+  rectangular block prolongator P [ns x nc] (b x m blocks) is embedded as
+  a SQUARE block matrix Qp on each aggregate's first fine member node —
+  column c of P lands at node column ``emb[c]`` (strictly increasing by
+  greedy_aggregate's min-index numbering), each b x m block zero-padded
+  to p x p with p = max(b, m).  Prolongation is then one banded BCSR
+  SpMV plus a sorted 1-D block scatter; restriction one banded SpMV plus
+  a sorted block gather — no O(ns*Kp) XLA transfer gathers inside the
+  cycle (the round-5 hardware measurement that motivated this: gather
+  transfers cost 46.9 ms/PCG-iter at 982k DOFs against 0.42 ms of fine
+  banded SpMV, BENCH_NOTES r5 phase B2).  ``transfer="gather"`` keeps
+  the node-level block-ELL gather path (b x fewer index loads than a
+  scalar formulation — still the right mode off-TPU).
 """
 from __future__ import annotations
 
@@ -236,10 +246,16 @@ class BlockAMGLevel(NamedTuple):
     A: BCSRMatrix            # level operator [ns, K, b, b]
     inv_diag: jax.Array      # [ns, b, b] exact block-diagonal inverses
     lmax: float              # Gershgorin-style bound on spec(Db^-1 A)
-    p_data: jax.Array        # prolongator blocks [n_f, Kp, b, m]
-    p_cols: jax.Array        # [n_f, Kp] coarse aggregate ids
-    r_data: jax.Array        # restriction blocks [n_c, Kr, m, b]
-    r_cols: jax.Array        # [n_c, Kr] fine node ids
+    p_data: jax.Array        # prolongator blocks [n_f, Kp, b, m] (gather)
+    p_cols: jax.Array        # [n_f, Kp] coarse aggregate ids (gather)
+    r_data: jax.Array        # restriction blocks [n_c, Kr, m, b] (gather)
+    r_cols: jax.Array        # [n_c, Kr] fine node ids (gather)
+    # banded-embedded transfer mode (module docstring): square p x p
+    # block matrices over the FINE node set; p_data/r_data are then None
+    Qp: BCSRMatrix = None    # embedded prolongator [ns, Kq, p, p]
+    Qr: BCSRMatrix = None    # embedded restriction [ns, Kq, p, p]
+    emb: jax.Array = None    # [nc] int32, first fine node per aggregate
+    m: int = 0               # coarse modes per aggregate (static)
 
 
 class BlockAMGHierarchy(NamedTuple):
@@ -270,12 +286,13 @@ class BlockAMGHierarchy(NamedTuple):
 # recursion/loop trip counts (mirrors solve/amg.py's registration).
 def _blk_level_flatten(lv: BlockAMGLevel):
     return ((lv.A, lv.inv_diag, lv.p_data, lv.p_cols, lv.r_data,
-             lv.r_cols), lv.lmax)
+             lv.r_cols, lv.Qp, lv.Qr, lv.emb), (lv.lmax, lv.m))
 
 
-def _blk_level_unflatten(lmax, ch):
-    return BlockAMGLevel(A=ch[0], inv_diag=ch[1], lmax=lmax, p_data=ch[2],
-                         p_cols=ch[3], r_data=ch[4], r_cols=ch[5])
+def _blk_level_unflatten(aux, ch):
+    return BlockAMGLevel(A=ch[0], inv_diag=ch[1], lmax=aux[0], p_data=ch[2],
+                         p_cols=ch[3], r_data=ch[4], r_cols=ch[5],
+                         Qp=ch[6], Qr=ch[7], emb=ch[8], m=aux[1])
 
 
 def _blk_hier_flatten(h: BlockAMGHierarchy):
@@ -326,6 +343,39 @@ def _block_cheb_smooth(A: BCSRMatrix, inv_diag, lmax, degree, ratio, r0):
     return z
 
 
+def _blk_restrict(lv: BlockAMGLevel, res):
+    """P^T res.  Embedded mode: (Qr res_pad)[emb, :m] — one square banded
+    block SpMV plus a sorted 1-D block gather (see module docstring)."""
+    if lv.emb is not None:
+        ns = lv.Qr.data.shape[0]
+        p = lv.Qr.block_size
+        b = lv.A.block_size
+        re = res.reshape(ns, b)
+        if p != b:
+            re = jnp.concatenate(
+                [re, jnp.zeros((ns, p - b), res.dtype)], axis=1)
+        y = lv.Qr.matvec(re.reshape(-1)).reshape(ns, p)
+        return y[lv.emb][:, :lv.m].reshape(-1)
+    return _bell_matvec(lv.r_data, lv.r_cols, res)
+
+
+def _blk_prolong(lv: BlockAMGLevel, xc):
+    """P xc.  Embedded mode: Qp (scatter xc_pad at emb) — a sorted 1-D
+    block scatter plus one square banded block SpMV."""
+    if lv.emb is not None:
+        ns = lv.Qp.data.shape[0]
+        p = lv.Qp.block_size
+        b = lv.A.block_size
+        xb = xc.reshape(-1, lv.m)
+        if p != lv.m:
+            xb = jnp.concatenate(
+                [xb, jnp.zeros((xb.shape[0], p - lv.m), xc.dtype)], axis=1)
+        xe = jnp.zeros((ns, p), xc.dtype).at[lv.emb].set(xb)
+        y = lv.Qp.matvec(xe.reshape(-1)).reshape(ns, p)
+        return y[:, :b].reshape(-1)
+    return _bell_matvec(lv.p_data, lv.p_cols, xc)
+
+
 def _block_cycle(h: BlockAMGHierarchy, l: int, r):
     if l == len(h.levels):
         return h.coarse_inv @ r
@@ -333,12 +383,12 @@ def _block_cycle(h: BlockAMGHierarchy, l: int, r):
     deg, ratio = h.smoother_degree, h.smoother_ratio
     x = _block_cheb_smooth(lv.A, lv.inv_diag, lv.lmax, deg, ratio, r)
     res = r - lv.A.matvec(x)
-    rc = _bell_matvec(lv.r_data, lv.r_cols, res)
+    rc = _blk_restrict(lv, res)
     xc = _block_cycle(h, l + 1, rc)
     if h.gamma >= 2 and l + 1 < len(h.levels):
         cA = h.levels[l + 1].A
         xc = xc + _block_cycle(h, l + 1, rc - cA.matvec(xc))
-    x = x + _bell_matvec(lv.p_data, lv.p_cols, xc)
+    x = x + _blk_prolong(lv, xc)
     x = x + _block_cheb_smooth(lv.A, lv.inv_diag, lv.lmax, deg, ratio,
                                r - lv.A.matvec(x))
     return x
@@ -350,7 +400,7 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
                     omega_scale: float = 4.0 / 3.0,
                     smoother_degree: int = 2, smoother_ratio: float = 8.0,
                     strength: float = 0.06, cycle: str = "V",
-                    chunk: int = 1 << 19,
+                    chunk: int = 1 << 19, transfer: str = "banded",
                     native_setup: bool = True) -> BlockAMGHierarchy:
     """Build a block-SA hierarchy from a concrete BCSR matrix.
 
@@ -362,9 +412,14 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
     ``coarse_n`` counts coarse *scalar* DOFs (nc * m).  ``strength``
     filters the aggregation graph by block Frobenius norms.  All setup
     math is float64 on the host; device arrays cast to A.dtype.
+    ``transfer``: "banded" (default) embeds P/P^T as square banded block
+    matrices so every transfer rides the banded Pallas SpMV; "gather"
+    keeps the block-ELL gather transfers (module docstring).
     """
     if cycle not in ("V", "W"):
         raise ValueError(f"unknown cycle {cycle!r}")
+    if transfer not in ("banded", "gather"):
+        raise ValueError(f"unknown transfer {transfer!r}")
     data = np.asarray(A.data, np.float64)
     cols = np.asarray(A.cols)
     dtype = A.data.dtype
@@ -465,11 +520,6 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
         nnz_total += float(np.count_nonzero(
             (c_data != 0).any(axis=(2, 3))))
 
-        # restriction = P^T as its own block ELL (pad: aggregate's first)
-        rr, rc_, rv = _bcoo_dedup(pc, pr,
-                                  np.swapaxes(pv, 1, 2), ns)
-        r_data, r_cols = _bcoo_to_bell(rr, rc_, rv, nc)
-
         # setup-time plans: tracer cols can't resolve inside jit.  The
         # finest level keeps the measured-fast segmented config (hw r5
         # phase 4: 0.42 ms/iter); coarse Galerkin levels are fat-K, so
@@ -477,21 +527,70 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
         # (their per-matvec payloads would dominate executable size)
         A_lvl = BCSRMatrix(jnp.asarray(data.astype(dtype)),
                            jnp.asarray(cols.astype(np.int32)))
-        if level == 0 and jax.default_backend() == "tpu":
+        on_tpu = jax.default_backend() == "tpu"
+        if level == 0 and on_tpu:
             A_lvl.resolve_band()
-        elif jax.default_backend() == "tpu":
+        elif on_tpu:
             try:
                 A_lvl.prime_band_plan(segment=False, cap_k=True)
             except Exception:
                 A_lvl.resolve_band()
-        levels.append(BlockAMGLevel(
-            A=A_lvl,
-            inv_diag=jnp.asarray(Dinv.astype(dtype)),
-            lmax=lmax,
-            p_data=jnp.asarray(p_data.astype(dtype)),
-            p_cols=jnp.asarray(p_cols),
-            r_data=jnp.asarray(r_data.astype(dtype)),
-            r_cols=jnp.asarray(r_cols)))
+
+        if transfer == "banded":
+            # embed P [ns x nc] (b x m blocks) as a SQUARE block matrix on
+            # each aggregate's first fine member: emb[c] strictly increases
+            # with c (min-index aggregate numbering), so Qp (= P with node
+            # column c moved to emb[c]) has node bandwidth ~ fine bandwidth
+            # + aggregate span; Qr = Qp^T.  Rectangular b x m blocks pad to
+            # p x p, p = max(b, m) — zero rows/cols are inert in the SpMV.
+            p_sz = max(b, m)
+            emb = np.full(nc, ns, np.int64)
+            np.minimum.at(emb, agg, np.arange(ns, dtype=np.int64))
+            qv = np.zeros((pv.shape[0], p_sz, p_sz), pv.dtype)
+            qv[:, :b, :m] = pv
+            qp_data, qp_cols = _bcoo_to_bell(pr, emb[pc], qv, ns)
+            qtv = np.zeros((pv.shape[0], p_sz, p_sz), pv.dtype)
+            qtv[:, :m, :b] = np.swapaxes(pv, 1, 2)
+            qr_r, qr_c, qr_v = _bcoo_dedup(emb[pc], pr, qtv, ns)
+            qr_data, qr_cols = _bcoo_to_bell(qr_r, qr_c, qr_v, ns)
+            Qp_m = BCSRMatrix(jnp.asarray(qp_data.astype(dtype)),
+                              jnp.asarray(qp_cols))
+            Qr_m = BCSRMatrix(jnp.asarray(qr_data.astype(dtype)),
+                              jnp.asarray(qr_cols))
+            if on_tpu:
+                for Qm in (Qp_m, Qr_m):
+                    try:
+                        Qm.prime_band_plan(segment=(level == 0),
+                                           cap_k=True)
+                    except Exception as exc:
+                        import warnings
+                        warnings.warn(
+                            "block-AMG transfer band-plan build failed "
+                            f"({type(exc).__name__}: {exc}); this level's "
+                            "transfers ride the gather SpMV",
+                            RuntimeWarning, stacklevel=2)
+                        Qm._band = None
+            levels.append(BlockAMGLevel(
+                A=A_lvl,
+                inv_diag=jnp.asarray(Dinv.astype(dtype)),
+                lmax=lmax,
+                p_data=None, p_cols=None, r_data=None, r_cols=None,
+                Qp=Qp_m, Qr=Qr_m,
+                emb=jnp.asarray(emb.astype(np.int32)), m=m))
+        else:
+            # restriction = P^T as its own block ELL (pad: aggregate's
+            # first)
+            rr, rc_, rv = _bcoo_dedup(pc, pr,
+                                      np.swapaxes(pv, 1, 2), ns)
+            r_data, r_cols = _bcoo_to_bell(rr, rc_, rv, nc)
+            levels.append(BlockAMGLevel(
+                A=A_lvl,
+                inv_diag=jnp.asarray(Dinv.astype(dtype)),
+                lmax=lmax,
+                p_data=jnp.asarray(p_data.astype(dtype)),
+                p_cols=jnp.asarray(p_cols),
+                r_data=jnp.asarray(r_data.astype(dtype)),
+                r_cols=jnp.asarray(r_cols), m=m))
         data, cols, B, b = c_data, c_cols, Bc, m
 
     # coarsest: explicit dense inverse
