@@ -401,7 +401,8 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
                     smoother_degree: int = 2, smoother_ratio: float = 8.0,
                     strength: float = 0.06, cycle: str = "V",
                     chunk: int = 1 << 19, transfer: str = "banded",
-                    native_setup: bool = True) -> BlockAMGHierarchy:
+                    native_setup: bool = True,
+                    walls_out: Optional[dict] = None) -> BlockAMGHierarchy:
     """Build a block-SA hierarchy from a concrete BCSR matrix.
 
     ``B`` is the near-null space [ns*b, m] (node-major component-minor).
@@ -415,6 +416,10 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
     ``transfer``: "banded" (default) embeds P/P^T as square banded block
     matrices so every transfer rides the banded Pallas SpMV; "gather"
     keeps the block-ELL gather transfers (module docstring).
+    ``walls_out``: optional dict filled with cumulative per-stage setup
+    seconds (diag_lmax / aggregate / tentative / smooth_p / galerkin /
+    plans / transfers / coarse_inv) — the decomposition behind the
+    precond_setup wall (BENCH_NOTES r5 phase B2: 303 s at 982k DOFs).
     """
     if cycle not in ("V", "W"):
         raise ValueError(f"unknown cycle {cycle!r}")
@@ -441,6 +446,14 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
     else:
         use_native = False
 
+    import time
+
+    def _tick(key, t0):
+        if walls_out is not None:
+            walls_out[key] = (walls_out.get(key, 0.0)
+                              + time.perf_counter() - t0)
+        return time.perf_counter()
+
     levels = []
     nnz0 = float(np.count_nonzero((data != 0).any(axis=(2, 3))))
     nnz_total = nnz0
@@ -449,6 +462,7 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
         ns = data.shape[0]
         if ns * b <= coarse_n or ns <= 1:
             break
+        t0 = time.perf_counter()
 
         # block-diagonal inverse + Gershgorin-style lmax on Db^-1 A
         Dblk = _block_diag_of(data, cols)
@@ -460,6 +474,7 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
         fro = np.sqrt((scaled ** 2).sum(axis=(2, 3)))
         lmax = float(fro.sum(axis=1).max())
         omega = omega_scale / lmax
+        t0 = _tick("diag_lmax", t0)
 
         # strength-filtered nodal aggregation (block Frobenius norms).
         # theta decays by half per level (Vanek's standard choice): the
@@ -475,6 +490,7 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
                             np.arange(ns, dtype=cols.dtype)[:, None]
                             ).astype(np.int32)
         agg, nc = greedy_aggregate(agg_cols)
+        t0 = _tick("aggregate", t0)
         if nc >= 0.7 * ns:
             # coarsening stalled: dense-coarsest fallback — but guard its
             # size (an early stall would otherwise allocate an (ns*b)^2
@@ -489,6 +505,7 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
         # tentative (per-aggregate QR of B) and smoothed prolongator
         t_data, Bc = _tentative(agg, nc, B, b)     # [ns,1,b,m], [nc*m, m]
         t_cols = agg[:, None].astype(np.int32)
+        t0 = _tick("tentative", t0)
         if use_native:                              # A T
             from tpufem import native
             cr, cc, cv = _bell_to_bcoo(*native.bspmm_bell(
@@ -503,6 +520,7 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
                                                 cv, optimize=True)], axis=0)
         pr, pc, pv = _bcoo_dedup(pr, pc, pv, nc)
         p_data, p_cols = _bcoo_to_bell(pr, pc, pv, ns)
+        t0 = _tick("smooth_p", t0)
 
         # Galerkin A_c = P^T (A P) — native single-pass C++ when available
         # (the chunked-numpy spec below cost ~1047 s at 982k DOFs,
@@ -519,6 +537,7 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
             c_data, c_cols = _bcoo_to_bell(gr, gc, gv, nc)
         nnz_total += float(np.count_nonzero(
             (c_data != 0).any(axis=(2, 3))))
+        t0 = _tick("galerkin", t0)
 
         # setup-time plans: tracer cols can't resolve inside jit.  The
         # finest level keeps the measured-fast segmented config (hw r5
@@ -535,6 +554,7 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
                 A_lvl.prime_band_plan(segment=False, cap_k=True)
             except Exception:
                 A_lvl.resolve_band()
+        t0 = _tick("plans", t0)
 
         if transfer == "banded":
             # embed P [ns x nc] (b x m blocks) as a SQUARE block matrix on
@@ -577,6 +597,7 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
                 p_data=None, p_cols=None, r_data=None, r_cols=None,
                 Qp=Qp_m, Qr=Qr_m,
                 emb=jnp.asarray(emb.astype(np.int32)), m=m))
+            t0 = _tick("transfers", t0)
         else:
             # restriction = P^T as its own block ELL (pad: aggregate's
             # first)
@@ -591,9 +612,11 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
                 p_cols=jnp.asarray(p_cols),
                 r_data=jnp.asarray(r_data.astype(dtype)),
                 r_cols=jnp.asarray(r_cols), m=m))
+            t0 = _tick("transfers", t0)
         data, cols, B, b = c_data, c_cols, Bc, m
 
     # coarsest: explicit dense inverse
+    t0 = time.perf_counter()
     ns = data.shape[0]
     bb = data.shape[-1]
     n = ns * bb
@@ -612,6 +635,7 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
     cut = np.abs(w).max() * max(n, 1) * np.finfo(np.float64).eps
     winv = np.where(np.abs(w) > cut, 1.0 / np.where(w != 0, w, 1.0), 0.0)
     coarse_inv = jnp.asarray(((Vc * winv) @ Vc.T).astype(dtype))
+    _tick("coarse_inv", t0)
 
     return BlockAMGHierarchy(levels=tuple(levels), coarse_inv=coarse_inv,
                              smoother_degree=int(smoother_degree),

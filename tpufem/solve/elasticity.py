@@ -206,10 +206,13 @@ def solve_elasticity(mesh: Mesh, *, lam: float = 1.0, mu: float = 1.0,
             # component-major — two cheap relayouts per application
             from tpufem.solve.amg_block import build_block_amg
             t0 = time.perf_counter()
+            pw = {}
             hier = build_block_amg(
                 BCSRMatrix(jnp.asarray(data_p), jnp.asarray(cols_p)),
-                coords=np.asarray(mesh.coords)[perm])
+                coords=np.asarray(mesh.coords)[perm], walls_out=pw)
             walls["precond_setup"] = time.perf_counter() - t0
+            walls["precond_setup_detail"] = {
+                k: round(v, 2) for k, v in pw.items()}
 
             def solve_fn(b_cm, op):
                 dd, rd, h = op
@@ -253,8 +256,12 @@ def solve_elasticity(mesh: Mesh, *, lam: float = 1.0, mu: float = 1.0,
 
         from tpufem.solve.amg_block import build_block_amg
         t0 = time.perf_counter()
-        hier = build_block_amg(A2, coords=np.asarray(mesh.coords))
+        pw = {}
+        hier = build_block_amg(A2, coords=np.asarray(mesh.coords),
+                               walls_out=pw)
         walls["precond_setup"] = time.perf_counter() - t0
+        walls["precond_setup_detail"] = {
+            k: round(v, 2) for k, v in pw.items()}
 
         def solve_fn(b2, op):
             A_, h = op
