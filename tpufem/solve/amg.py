@@ -59,7 +59,7 @@ Closing over the hierarchy still works and is fine at small sizes.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import numpy as np
 
@@ -497,7 +497,8 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
               smoother_ratio: float = 8.0, aggregation: str = "greedy",
               interval_size: int = 6, cycle: str = "V",
               strength: float = 0.0, transfer: str = "banded",
-              chunk: int = 1 << 21) -> AMGHierarchy:
+              chunk: int = 1 << 21,
+              walls_out: Optional[dict] = None) -> AMGHierarchy:
     """Build a smoothed-aggregation hierarchy from a concrete ELL matrix.
 
     ``A`` should be RCM-ordered (banded) — the same precondition as the
@@ -527,6 +528,10 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
     ``cycle``: "V" (one coarse visit) or "W" (two — restores
     mesh-independent iteration counts under interval aggregation's 1D
     semicoarsening, at (2/s)^l geometrically-decaying extra coarse work).
+
+    ``walls_out``: optional dict filled with cumulative per-stage setup
+    seconds (aggregate / smooth_p / galerkin / plans / transfers /
+    coarse_inv) — the decomposition behind precond_setup walls.
     """
     if aggregation not in ("greedy", "interval"):
         raise ValueError(f"unknown aggregation {aggregation!r}")
@@ -534,6 +539,14 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
         raise ValueError(f"unknown cycle {cycle!r}")
     if transfer not in ("banded", "gather"):
         raise ValueError(f"unknown transfer {transfer!r}")
+    import time
+
+    def _tick(key, t0):
+        if walls_out is not None:
+            walls_out[key] = (walls_out.get(key, 0.0)
+                              + time.perf_counter() - t0)
+        return time.perf_counter()
+
     data = np.asarray(A.data, np.float64)
     cols = np.asarray(A.cols)
     dtype = A.dtype
@@ -546,6 +559,7 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
         n = data.shape[0]
         if n <= coarse_n:
             break
+        t0 = time.perf_counter()
         diag = _diag_of(data, cols)
         inv_d = np.where(diag != 0, 1.0 / diag, 1.0)
         if aggregation == "interval":
@@ -581,6 +595,7 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
                         "dense coarsest solve; lower `strength` or use "
                         "aggregation='interval'")
                 break
+        t0 = _tick("aggregate", t0)
         count = np.bincount(agg, minlength=nc).astype(np.float64)
         tval = 1.0 / np.sqrt(count)[agg]          # normalized tentative T
 
@@ -594,6 +609,7 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
         pv = np.concatenate([-omega * inv_d[ar] * av * tval[ac], tval])
         pr, pc, pv = _coo_dedup(pr, pc, pv, nc)
         p_data, p_cols = _coo_to_ell(pr, pc, pv, n, pad_cols=agg)
+        t0 = _tick("smooth_p", t0)
 
         # Galerkin A_c = P^T (A P): native single-pass product when the
         # host library is available (the chunked numpy product below is
@@ -612,6 +628,7 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
             gr, gc, gv = _spmm_t_coo(p_data, p_cols, cr, cc, cv, nc, chunk)
             c_data, c_cols = _coo_to_ell(gr, gc, gv, nc)
         nnz_total += float(np.count_nonzero(c_data))
+        t0 = _tick("galerkin", t0)
 
         Adev = fine_A if fine_A is not None else ELLMatrix(
             jnp.asarray(data.astype(dtype)),
@@ -622,6 +639,7 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
         # boundary as an argument (see _prime_wide)
         _prime_wide(Adev, cols, segment=(level_idx == 0))
         fine_A = None
+        t0 = _tick("plans", t0)
         if aggregation == "interval":
             # transfers applied matrix-free (repeat/reshape + banded SpMV).
             # Diag-folding (BENCH_NOTES r4): pre-multiply the tv / omega /
@@ -697,14 +715,17 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
                 p_cols=jnp.asarray(p_cols),
                 r_data=jnp.asarray(r_data.astype(dtype)),
                 r_cols=jnp.asarray(r_cols)))
+        t0 = _tick("transfers", t0)
         data, cols = c_data, c_cols
 
     # coarsest: explicit dense inverse (SPD, tiny -> one MXU matmul/apply)
+    t0 = time.perf_counter()
     n = data.shape[0]
     dense = np.zeros((n, n))
     np.add.at(dense, (np.repeat(np.arange(n), data.shape[1]),
                       cols.astype(np.int64).ravel()), data.ravel())
     coarse_inv = jnp.asarray(np.linalg.inv(dense).astype(dtype))
+    _tick("coarse_inv", t0)
 
     return AMGHierarchy(levels=tuple(levels), coarse_inv=coarse_inv,
                         smoother_degree=int(smoother_degree),

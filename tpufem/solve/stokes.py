@@ -214,7 +214,7 @@ def build_stokes(mesh: Mesh, *, viscosity: float = 1.0, dtype=jnp.float64):
 
 def build_velocity_amg(mesh: Mesh, V: FunctionSpace, *,
                        viscosity: float = 1.0, dtype=jnp.float64,
-                       **amg_kw):
+                       walls_out: Optional[dict] = None, **amg_kw):
     """Scalar-AMG preconditioner pieces for the velocity block.
 
     The velocity block A is nu x the VECTOR P2 Laplacian with independent
@@ -228,11 +228,14 @@ def build_velocity_amg(mesh: Mesh, V: FunctionSpace, *,
 
     Returns ``(hier, perm, inv)`` — all jit-argument-safe pytrees/arrays.
     """
+    import time
+
     from tpufem.assemble.ell import assemble_ell
     from tpufem.mesh.adjacency import ell_pattern, reverse_cuthill_mckee
     from tpufem.solve.amg import build_amg
     from tpufem.solve.bc import apply_dirichlet_ell
 
+    t0 = time.perf_counter()
     Vs = FunctionSpace(mesh, degree=V.element.degree)   # scalar twin:
     # identical scalar DOF numbering to V's (same construction path)
     wf = WeakForm(Vs)
@@ -253,7 +256,9 @@ def build_velocity_amg(mesh: Mesh, V: FunctionSpace, *,
     A_s, _ = apply_dirichlet_ell(
         A_s, jnp.zeros(Vs.num_scalar_dofs, dtype), flags_p)
     A_s.resolve_band()
-    hier = build_amg(A_s, **amg_kw)
+    if walls_out is not None:
+        walls_out["scalar_system"] = time.perf_counter() - t0
+    hier = build_amg(A_s, walls_out=walls_out, **amg_kw)
     return hier, jnp.asarray(perm), jnp.asarray(inv)
 
 
@@ -321,9 +326,13 @@ def solve_stokes(mesh: Mesh, *, body_force: Optional[Callable] = None,
     d = mesh.dim
     if velocity_precond == "amg":
         t0 = time.perf_counter()
+        pw: dict = {}
         hier, perm, inv = build_velocity_amg(
-            mesh, V, viscosity=viscosity, dtype=dtype, **(amg_kw or {}))
+            mesh, V, viscosity=viscosity, dtype=dtype, walls_out=pw,
+            **(amg_kw or {}))
         walls["precond_setup"] = time.perf_counter() - t0
+        walls["precond_setup_detail"] = {
+            k: round(v, 2) for k, v in pw.items()}
 
         def solve_fn(f_v, u_bc, op, hp):
             b = op.rhs(f_v, u_bc)
