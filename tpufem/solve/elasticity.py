@@ -74,8 +74,13 @@ def solve_elasticity(mesh: Mesh, *, lam: float = 1.0, mu: float = 1.0,
     the XLA gather at 1M DOFs on a v5e); solution returned in original
     DOF order.
     ``precond``: None/"jacobi" = block-Jacobi (iterations grow with the
-    mesh); "amg" = rigid-body-mode block smoothed aggregation
-    (solve.amg_block — mesh-robust iteration counts).
+    mesh); "amg" = rigid-body-mode block smoothed aggregation with
+    banded-embedded transfers (solve.amg_block — mesh-robust iteration
+    counts; round-5 hardware at 982k DOFs: 26 vs 2923 iterations).
+    block-Jacobi stays the default for single-shot solves: its setup is
+    the band plan alone, while the AMG hierarchy build is minutes-class
+    at 1M DOFs (BENCH_NOTES r5 phases B2/C1) — choose "amg" when the
+    operator is solved repeatedly or block-Jacobi stalls.
 
     The CG program receives the operator (banded-plan arrays / BCSR
     hierarchy) THROUGH the jit boundary as pytree arguments — closure
