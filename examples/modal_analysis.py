@@ -53,6 +53,13 @@ def main(argv=None):
     ap.add_argument("--inner", type=int, default=60,
                     help="CG iterations per inverse application")
     ap.add_argument("--outer", type=int, default=25)
+    ap.add_argument("--inner-precond", choices=["chebyshev", "jacobi"],
+                    default="chebyshev",
+                    help="inner-CG preconditioner: chebyshev (deg-10 "
+                    "polynomial Jacobi — multi-RHS for free, keeps the "
+                    "inverse application accurate as cond(A) grows with "
+                    "the mesh; Jacobi alone left 17%% eigenvalue error "
+                    "at 491k DOFs, BENCH_NOTES r5 phase B5) or jacobi")
     ap.add_argument("--serial", action="store_true",
                     help="column-serial inner solves (the round-4 path) "
                     "for the A/B against the batched default")
@@ -97,12 +104,25 @@ def main(argv=None):
     # A/mL/bc enter the jitted program as ARGUMENTS, never by closure —
     # a captured ELLMatrix is baked into the lowered HLO as constants
     # (~100s of MB at this scale, minutes of lowering; BENCH_NOTES r4)
+    # Gershgorin lmax on the CONCRETE matrix (a host float closes over the
+    # jit safely; device arrays must enter as arguments instead)
+    if args.inner_precond == "chebyshev":
+        from tpufem.solve.precond import chebyshev, lambda_max_bound
+        lmax = float(lambda_max_bound(A))
+
     def run_fn(A, mL, bc):
-        kw = dict(lumped_mass=mL, M=jacobi(A), bc_mask=bc,
+        if args.inner_precond == "chebyshev":
+            M1 = chebyshev(A.matvec, A.diagonal(), degree=10, lmax=lmax)
+            Mq = chebyshev(A.matvec_multi, A.diagonal(), degree=10,
+                           lmax=lmax)
+        else:
+            M1, Mq = jacobi(A), None
+        kw = dict(lumped_mass=mL, M=M1, bc_mask=bc,
                   inner_iters=args.inner, outer_iters=args.outer,
                   buffer=args.buffer, dtype=ec.dtype)
         if not args.serial:
             kw["matvec_multi"] = A.matvec_multi
+            kw["M_multi"] = Mq
         return smallest_eigenpairs(A.matvec, nn, args.k, **kw)
 
     run = jax.jit(run_fn)

@@ -104,3 +104,20 @@ def test_chebyshev_cuts_iterations_vs_jacobi():
     err = float(jnp.linalg.norm(res_c.x - res_j.x)
                 / jnp.linalg.norm(res_j.x))
     assert err < 1e-6, err
+
+
+def test_chebyshev_multi_rhs_matches_columnwise():
+    """The polynomial is linear with fixed coefficients, so applying it to
+    an [n, q] block through a multi-RHS matvec must equal the column-wise
+    application exactly — the property the batched eigen inner solves rely
+    on (examples/modal_analysis.py --inner-precond chebyshev)."""
+    A, _ = _system(20)
+    lmax = lambda_max_bound(A)
+    M1 = chebyshev(A.matvec, A.diagonal(), degree=10, lmax=lmax)
+    Mq = chebyshev(A.matvec_multi, A.diagonal(), degree=10, lmax=lmax)
+    rng = np.random.default_rng(0)
+    R = jnp.asarray(rng.standard_normal((A.shape[0], 4)))
+    Z = Mq(R)
+    Zcols = jnp.stack([M1(R[:, j]) for j in range(4)], axis=1)
+    np.testing.assert_allclose(np.asarray(Z), np.asarray(Zcols),
+                               rtol=0, atol=1e-12)

@@ -138,13 +138,17 @@ def chebyshev(matvec, diag, *, degree: int = 10, lmax: float,
         rho = 1.0 / (2.0 * sigma1 - rho)
 
     def apply(r0):
-        d = (inv_d * r0) / theta
+        # shape-agnostic Jacobi scaling: [n] vectors and [n, q] multi-RHS
+        # blocks (pass a multi-RHS matvec, e.g. ELLMatrix.matvec_multi,
+        # and the polynomial preconditions all q columns per stream)
+        idv = inv_d if r0.ndim == 1 else inv_d[:, None]
+        d = (idv * r0) / theta
         z = d
         r = r0
         for k in range(1, m):
             r = r - matvec(d)          # r_k (the final r_m is never needed)
             d = rhos[k] * rhos[k - 1] * d + (2.0 * rhos[k] / delta) * (
-                inv_d * r)
+                idv * r)
             z = z + d
         return z
 
