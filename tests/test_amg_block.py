@@ -156,6 +156,41 @@ def test_banded_transfers_match_gather():
                                rtol=0, atol=1e-9)
 
 
+def test_banded_transfers_3d_rigid_modes():
+    """3D: b=3 velocity components, m=6 rigid body modes — the heaviest
+    block-padding path (p=6, fine-level blocks 3x6 -> 6x6).  The embedded
+    cycle must stay a working SPD preconditioner and match the gather
+    arm's convergence."""
+    from tpufem.mesh.box import box_mesh
+
+    mesh = box_mesh(0, 1, 0, 1, 0, 1, 6, 6, 6)
+    V = VectorFunctionSpace(mesh, degree=1)
+    wf = elasticity_forms(V, 1.0, 1.0,
+                          lambda x: np.stack([0 * x[..., 0] + 1.0,
+                                              0 * x[..., 1] - 0.5,
+                                              0 * x[..., 2] + 0.25],
+                                             axis=-1))
+    wf.dtype = jnp.float64
+    ec = jnp.asarray(mesh.element_coords(), jnp.float64)
+    Ke = wf.element_matrices(ec)
+    pat = ell_pattern(V.scalar_dof_conn, V.num_scalar_dofs, pad_to=16)
+    A = assemble_bcsr(pat, Ke, block_size=3)
+    b = assemble_vector(V.dof_conn, wf.element_vectors(ec), V.num_dofs)
+    A, b = apply_dirichlet_bcsr(A, b, jnp.asarray(V.dof_flags))
+
+    hg = build_block_amg(A, coords=np.asarray(mesh.coords), coarse_n=120,
+                         transfer="gather")
+    hb = build_block_amg(A, coords=np.asarray(mesh.coords), coarse_n=120,
+                         transfer="banded")
+    assert hb.levels[0].m == 6 and hb.levels[0].Qp.block_size == 6
+    rg = cg(A.matvec, b, tol=1e-9, maxiter=300, M=hg.apply)
+    rb = cg(A.matvec, b, tol=1e-9, maxiter=300, M=hb.apply)
+    assert bool(rg.converged) and bool(rb.converged)
+    assert abs(int(rg.iterations) - int(rb.iterations)) <= 1
+    np.testing.assert_allclose(np.asarray(rb.x), np.asarray(rg.x),
+                               rtol=0, atol=1e-9)
+
+
 def test_banded_transfer_plans_resolved_at_setup(monkeypatch):
     """Qp/Qr must leave build_block_amg with banded plans RESOLVED on TPU
     (round-4/5 silent-gather disease class: gather transfers measured
