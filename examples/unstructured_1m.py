@@ -78,21 +78,26 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=1e-5)
     ap.add_argument("--precond", choices=["amg", "chebyshev", "jacobi"],
                     default="chebyshev",
-                    help="amg = smoothed-aggregation V-cycle (solve/amg.py,"
-                    " mesh-independent iterations); chebyshev = polynomial"
-                    " Jacobi; jacobi = diagonal")
+                    help="amg = smoothed-aggregation V-cycle (solve/amg.py):"
+                    " the measured solve-time winner at 1M rows (221 ms /"
+                    " 26 iters, round-5 A/B) but pays a ~55 s hierarchy"
+                    " setup; chebyshev = polynomial Jacobi (549 ms / 244"
+                    " iters, ~zero setup — the single-shot e2e winner and"
+                    " so this example's default); jacobi = diagonal")
     ap.add_argument("--agg", choices=["interval", "greedy"],
-                    default="interval",
-                    help="AMG aggregation: interval = gather-free "
-                    "transfers (TPU fast path); greedy = classical Vanek "
-                    "with banded-embedded transfers (also gather-free)")
-    ap.add_argument("--strength", type=float, default=0.0,
+                    default="greedy",
+                    help="AMG aggregation: greedy = classical Vanek with "
+                    "banded-embedded transfers (measured winner at 1M "
+                    "rows); interval = stride-window aggregation, "
+                    "transfers fold into the smoother (also gather-free)")
+    ap.add_argument("--strength", type=float, default=0.08,
                     help="SA strength-of-connection threshold for greedy "
                     "aggregation (0 = off; 0.08 classical)")
-    ap.add_argument("--cycle", choices=["W", "V"], default="W",
-                    help="AMG cycle: W (gamma=2) bounds the iteration "
-                    "growth of interval's 1D semicoarsening at "
-                    "geometrically-decaying extra coarse work")
+    ap.add_argument("--cycle", choices=["W", "V"], default="V",
+                    help="AMG cycle: V is the measured 1M-row winner "
+                    "(W's recursive coarse revisits cost 9.4x per cycle "
+                    "on-chip); W bounds the iteration growth of "
+                    "interval's 1D semicoarsening")
     ap.add_argument("--lmax", choices=["bound", "power"], default="bound",
                     help="lmax for the Chebyshev interval: 'bound' = "
                     "Gershgorin row sums (guaranteed safe); 'power' = "
