@@ -171,10 +171,11 @@ def main(argv=None):
     A.resolve_band()
 
     t0 = time.perf_counter()
+    setup_detail = {}
     if args.precond == "amg":
         from tpufem.solve.amg import build_amg
         hier = build_amg(A, aggregation=args.agg, cycle=args.cycle,
-                         strength=args.strength)
+                         strength=args.strength, walls_out=setup_detail)
         print(f"# AMG: levels {[lv.A.shape[0] for lv in hier.levels]}"
               f" + coarse {hier.coarse_inv.shape[0]}, operator complexity"
               f" {hier.operator_complexity:.2f}, {args.cycle}-cycle",
@@ -247,6 +248,8 @@ def main(argv=None):
         "walls_s": {"host": round(t_host, 2),
                     "build_compile": round(t_build_wall, 2),
                     "precond_setup": round(t_precond, 2),
+                    "precond_setup_detail": {
+                        k: round(v, 2) for k, v in setup_detail.items()},
                     "solve_compile": round(t_solve_wall, 2),
                     "aot_cache": aot.stats},
     }
