@@ -74,7 +74,9 @@ def main(argv=None):
         "converged": bool(sol.res.converged),
         "centerline_ux_min": ux_min,
         "walls_s": {"mesh": round(t_mesh, 2),
-                    **{k: round(v, 2) for k, v in sol.walls.items()}},
+                    **{k: ({kk: round(vv, 2) for kk, vv in v.items()}
+                           if isinstance(v, dict) else round(v, 2))
+                       for k, v in sol.walls.items()}},
     }
     print(json.dumps(out))
     if not bool(sol.res.converged):

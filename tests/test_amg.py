@@ -222,3 +222,26 @@ def test_build_amg_resolves_band_plans_at_setup(monkeypatch):
     for lv in hg.levels:
         assert lv.A._band in (None, "unresolved")
         assert lv.Qp._band in (None, "unresolved")
+
+
+def test_apply_multi_matches_columnwise():
+    """The multi-RHS cycle (hier.apply_multi) must equal the scalar cycle
+    applied column-by-column, for every transfer mode — it is the SAME
+    linear operator, only the matrix-streaming is batched.  This is the
+    operator eigen's batched inner solves use as M_multi; any drift here
+    silently breaks the lockstep CG chains' preconditioning."""
+    import jax
+    _, A, _, _ = _system(16)
+    n = A.shape[0]
+    rng = np.random.default_rng(3)
+    R = jnp.asarray(rng.standard_normal((n, 5)).astype(np.float32))
+    for kw in (dict(aggregation="greedy", transfer="banded",
+                    strength=0.08),
+               dict(aggregation="greedy", transfer="gather"),
+               dict(aggregation="interval", interval_size=6),
+               dict(aggregation="interval", interval_size=6, cycle="W")):
+        hier = build_amg(A, coarse_n=30, **kw)
+        Zm = np.asarray(jax.jit(hier.apply_multi)(R))
+        ap = jax.jit(hier.apply)
+        Zc = np.stack([np.asarray(ap(R[:, j])) for j in range(5)], axis=1)
+        assert np.abs(Zm - Zc).max() < 1e-5 * np.abs(Zc).max() + 1e-7, kw

@@ -66,7 +66,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tpufem.sparse.ell import ELLMatrix, ell_matvec
+from tpufem.sparse.ell import ELLMatrix, ell_matvec, ell_matvec_multi
 
 __all__ = ["AMGLevel", "AMGHierarchy", "build_amg", "greedy_aggregate"]
 
@@ -121,6 +121,34 @@ def greedy_aggregate(cols: np.ndarray, *, use_native: bool = True):
             agg[i] = na                     # isolated: singleton
             na += 1
     return _renumber_by_first(agg, na, n)
+
+
+def sym_dense_inv(dense: np.ndarray) -> np.ndarray:
+    """Inverse (or pseudo-inverse) of a dense symmetric matrix, on host.
+
+    Cholesky-based (LAPACK dpotrf/dpotri, ~2n^3/3 flops) when the matrix
+    is positive definite — measured 2.4 s vs np.linalg.eigh's 16.5 s at
+    n=4000 on one host core, and the block-AMG coarsest at 982k DOFs paid
+    393.9 s in eigh (BENCH_NOTES r5 phase C1) — with an eigh pseudo-inverse
+    fallback when the coarsest carries a (near-)null space (stalled
+    coarsening, pure-Neumann blocks).  Returns an exactly symmetric array.
+    """
+    dense = 0.5 * (dense + dense.T)
+    try:
+        from scipy.linalg import lapack
+        c, info = lapack.dpotrf(dense, lower=1)
+        if info == 0:
+            inv, info = lapack.dpotri(c, lower=1)
+            if info == 0:
+                inv = np.tril(inv) + np.tril(inv, -1).T
+                if np.isfinite(inv).all():
+                    return inv
+    except ImportError:
+        pass
+    w, V = np.linalg.eigh(dense)
+    cut = np.abs(w).max() * max(dense.shape[0], 1) * np.finfo(np.float64).eps
+    winv = np.where(np.abs(w) > cut, 1.0 / np.where(w != 0.0, w, 1.0), 0.0)
+    return (V * winv) @ V.T
 
 
 def _renumber_by_first(agg, na, n):
@@ -290,6 +318,13 @@ class AMGHierarchy(NamedTuple):
     def __call__(self, r):
         return self.apply(r)
 
+    def apply_multi(self, R):
+        """Z = V-cycle(R) column-wise for R [n, q] — the multi-RHS cycle
+        (one matrix stream per level visit for all q columns).  Same
+        linear, SPD operator as ``apply`` on each column; feeds
+        cg_fixed_block / eigen's batched inner solves as ``M_multi``."""
+        return _vcycle_multi(self, 0, R)
+
 
 # Custom pytree registration (overrides the NamedTuple default): array
 # fields are children; scalar config is aux_data, so it stays STATIC when
@@ -425,6 +460,15 @@ def _smooth(level: AMGLevel, degree, ratio, r0):
                         degree, ratio, r0)
 
 
+def _smooth_multi(level: AMGLevel, degree, ratio, R0):
+    """Multi-RHS Chebyshev smoothing: same recurrence on [n, q] blocks.
+    ``inv_diag`` enters pre-broadcast so _cheb_smooth's elementwise algebra
+    is shape-agnostic; the matvec rides the multi-RHS banded kernel (one
+    matrix read per row-block for all q columns)."""
+    return _cheb_smooth(level.A.matvec_multi, level.inv_diag[:, None],
+                        level.lmax, degree, ratio, R0)
+
+
 def _restrict(lv: AMGLevel, res):
     """rc = P^T res.
 
@@ -468,6 +512,63 @@ def _prolong(lv: AMGLevel, xc):
         return lv.Pop.matvec(u)         # diag-folded: one banded SpMV
     t = lv.tv * u
     return t - lv.omega * (lv.inv_diag * lv.A.matvec(t))
+
+
+def _restrict_multi(lv: AMGLevel, res):
+    """Multi-RHS restriction: _restrict on [n, q] blocks (same three
+    modes; window sums act over the row axis, gathers index rows)."""
+    if lv.emb is not None:
+        return lv.Qr.matvec_multi(res)[lv.emb]
+    if lv.s == 0:
+        return ell_matvec_multi(lv.r_data, lv.r_cols, res)
+    if lv.Rop is not None:
+        w = lv.Rop.matvec_multi(res)
+    else:
+        w = lv.tv[:, None] * (
+            res - lv.omega * lv.A.matvec_multi(lv.inv_diag[:, None] * res))
+    n, q = w.shape
+    nc = -(-n // lv.s)
+    return jnp.pad(w, ((0, nc * lv.s - n), (0, 0))
+                   ).reshape(nc, lv.s, q).sum(axis=1)
+
+
+def _prolong_multi(lv: AMGLevel, xc):
+    """Multi-RHS prolongation: _prolong on [n_c, q] blocks."""
+    if lv.emb is not None:
+        xe = (jnp.zeros((lv.Qp.data.shape[0], xc.shape[1]), xc.dtype)
+              .at[lv.emb].set(xc))
+        return lv.Qp.matvec_multi(xe)
+    if lv.s == 0:
+        return ell_matvec_multi(lv.p_data, lv.p_cols, xc)
+    n = lv.tv.shape[0]
+    u = jnp.repeat(xc, lv.s, axis=0,
+                   total_repeat_length=lv.s * xc.shape[0])[:n]
+    if lv.Pop is not None:
+        return lv.Pop.matvec_multi(u)
+    t = lv.tv[:, None] * u
+    return t - lv.omega * (lv.inv_diag[:, None] * lv.A.matvec_multi(t))
+
+
+def _vcycle_multi(h: AMGHierarchy, l: int, R):
+    """Multi-RHS V/W-cycle on [n, q] blocks: one matrix stream per level
+    visit for all q right-hand sides.  This is what makes AMG usable as
+    the INNER preconditioner of batched block solves (eigen's lockstep
+    CG chains): the cycle cost grows ~(1 + q * vector/matrix-traffic
+    ratio), not q-fold."""
+    if l == len(h.levels):
+        return h.coarse_inv @ R
+    lv = h.levels[l]
+    deg, ratio = h.smoother_degree, h.smoother_ratio
+    X = _smooth_multi(lv, deg, ratio, R)
+    res = R - lv.A.matvec_multi(X)
+    rc = _restrict_multi(lv, res)
+    xc = _vcycle_multi(h, l + 1, rc)
+    if h.gamma >= 2 and l + 1 < len(h.levels):
+        cA = h.levels[l + 1].A
+        xc = xc + _vcycle_multi(h, l + 1, rc - cA.matvec_multi(xc))
+    X = X + _prolong_multi(lv, xc)
+    X = X + _smooth_multi(lv, deg, ratio, R - lv.A.matvec_multi(X))
+    return X
 
 
 def _vcycle(h: AMGHierarchy, l: int, r):
@@ -580,14 +681,22 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
                     keep, cols,
                     np.arange(n, dtype=cols.dtype)[:, None]).astype(np.int32)
             agg, nc = greedy_aggregate(agg_cols)
+            if nc >= 0.7 * n and strength > 0.0:
+                # coarsening stalled: strength filtering can disconnect a
+                # coarse graph into near-singletons while the FULL graph
+                # still coarsens.  Retry unfiltered — trading smoothing
+                # quality on this deep level for a much smaller dense
+                # coarsest (the eigh/Cholesky cost there is O(n^3)).
+                agg2, nc2 = greedy_aggregate(cols)
+                if nc2 < 0.7 * n:
+                    agg, nc = agg2, nc2
             if nc >= 0.7 * n:
-                # coarsening stalled (strength filtering can disconnect a
-                # coarse graph into near-singletons): stop here and let the
-                # dense coarsest solve take the remainder — more levels
-                # would add setup + cycle cost without reducing anything.
-                # Guard the dense fallback's size: an early stall on a
-                # large level would otherwise allocate an n^2 dense matrix
-                # (8 TB at 1M rows) instead of failing clearly.
+                # still stalled: stop here and let the dense coarsest
+                # solve take the remainder — more levels would add setup +
+                # cycle cost without reducing anything.  Guard the dense
+                # fallback's size: an early stall on a large level would
+                # otherwise allocate an n^2 dense matrix (8 TB at 1M rows)
+                # instead of failing clearly.
                 if n > max(4 * coarse_n, 20_000):
                     raise ValueError(
                         f"AMG coarsening stalled at {n} rows (aggregation "
@@ -724,8 +833,10 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
     dense = np.zeros((n, n))
     np.add.at(dense, (np.repeat(np.arange(n), data.shape[1]),
                       cols.astype(np.int64).ravel()), data.ravel())
-    coarse_inv = jnp.asarray(np.linalg.inv(dense).astype(dtype))
+    coarse_inv = jnp.asarray(sym_dense_inv(dense).astype(dtype))
     _tick("coarse_inv", t0)
+    if walls_out is not None:
+        walls_out["coarse_rows"] = int(n)
 
     return AMGHierarchy(levels=tuple(levels), coarse_inv=coarse_inv,
                         smoother_degree=int(smoother_degree),

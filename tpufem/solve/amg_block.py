@@ -54,7 +54,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tpufem.solve.amg import _cheb_coeffs, greedy_aggregate
+from tpufem.solve.amg import _cheb_coeffs, greedy_aggregate, sym_dense_inv
 from tpufem.sparse.bcsr import BCSRMatrix
 
 __all__ = ["BlockAMGLevel", "BlockAMGHierarchy", "build_block_amg",
@@ -490,9 +490,19 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
                             np.arange(ns, dtype=cols.dtype)[:, None]
                             ).astype(np.int32)
         agg, nc = greedy_aggregate(agg_cols)
+        if nc >= 0.7 * ns:
+            # coarsening stalled under the strength filter: retry on the
+            # FULL block graph — weak-edge aggregation on a deep level
+            # costs smoothing quality but keeps the dense coarsest small
+            # (its factorization is O((ns*b)^3): the 982k-DOF run that
+            # stalled at ~11.5k scalar rows paid 394 s there,
+            # BENCH_NOTES r5 phase C1)
+            agg2, nc2 = greedy_aggregate(cols)
+            if nc2 < 0.7 * ns:
+                agg, nc = agg2, nc2
         t0 = _tick("aggregate", t0)
         if nc >= 0.7 * ns:
-            # coarsening stalled: dense-coarsest fallback — but guard its
+            # still stalled: dense-coarsest fallback — but guard its
             # size (an early stall would otherwise allocate an (ns*b)^2
             # dense matrix instead of failing clearly)
             if ns * b > max(4 * coarse_n, 20_000):
@@ -627,15 +637,12 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
         for y in range(bb):
             np.add.at(dense, (ridx * bb + x, cidx * bb + y),
                       data[:, :, x, y].ravel())
-    # symmetric pseudo-inverse via eigh (the operator is symmetric by
-    # construction): ~5x cheaper than SVD-based np.linalg.pinv and exact
-    # on the rigid-body null space the coarsest may carry
-    dense = 0.5 * (dense + dense.T)
-    w, Vc = np.linalg.eigh(dense)
-    cut = np.abs(w).max() * max(n, 1) * np.finfo(np.float64).eps
-    winv = np.where(np.abs(w) > cut, 1.0 / np.where(w != 0, w, 1.0), 0.0)
-    coarse_inv = jnp.asarray(((Vc * winv) @ Vc.T).astype(dtype))
+    # symmetric (pseudo-)inverse: Cholesky when SPD, eigh pseudo-inverse
+    # when the coarsest carries a rigid-body null space (sym_dense_inv)
+    coarse_inv = jnp.asarray(sym_dense_inv(dense).astype(dtype))
     _tick("coarse_inv", t0)
+    if walls_out is not None:
+        walls_out["coarse_rows"] = int(n)
 
     return BlockAMGHierarchy(levels=tuple(levels), coarse_inv=coarse_inv,
                              smoother_degree=int(smoother_degree),
