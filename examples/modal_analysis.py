@@ -12,7 +12,11 @@ on one TPU chip:
      (solve.cg.cg_fixed_block) over the multi-RHS banded Pallas SpMV
      (ELLMatrix.matvec_multi — matrix planes stream once per row-block
      for all q RHS), replacing round-4's column-serial Python loop
-     (VERDICT r4 item 7);
+     (VERDICT r4 item 7), preconditioned by a greedy-SA AMG V-cycle via
+     the multi-RHS cycle (AMGHierarchy.apply_multi) — the only inner
+     preconditioner whose solve accuracy is mesh-independent (Jacobi and
+     Chebyshev floor the outer Rayleigh-Ritz at 17% / 6.6% eigenvalue
+     error by 491k DOFs; BENCH_NOTES r5 phases B5/D1);
   4. golden check: Dirichlet eigenvalues of the (-3,3)^2 square are
      pi^2 (i^2+j^2)/36 — computed modes must match to O(h^2).
 
@@ -50,16 +54,22 @@ def main(argv=None):
                     "1000 -> 1,002,001)")
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--buffer", type=int, default=3)
-    ap.add_argument("--inner", type=int, default=60,
-                    help="CG iterations per inverse application")
+    ap.add_argument("--inner", type=int, default=None,
+                    help="CG iterations per inverse application "
+                    "(default: 20 for amg, 60 otherwise)")
     ap.add_argument("--outer", type=int, default=25)
-    ap.add_argument("--inner-precond", choices=["chebyshev", "jacobi"],
-                    default="chebyshev",
-                    help="inner-CG preconditioner: chebyshev (deg-10 "
-                    "polynomial Jacobi — multi-RHS for free, keeps the "
-                    "inverse application accurate as cond(A) grows with "
-                    "the mesh; Jacobi alone left 17%% eigenvalue error "
-                    "at 491k DOFs, BENCH_NOTES r5 phase B5) or jacobi")
+    ap.add_argument("--inner-precond", choices=["amg", "chebyshev",
+                                                "jacobi"],
+                    default="amg",
+                    help="inner-CG preconditioner.  amg (default): "
+                    "greedy-SA V-cycle via the multi-RHS cycle "
+                    "(hier.apply_multi) — the only one whose inverse "
+                    "application stays accurate as cond(A)~1/h^2 grows "
+                    "(Jacobi left 17%% eigenvalue error and chebyshev "
+                    "6.6%% at 491k DOFs: 60 inner iters bottom out at "
+                    "~6e-2 solve accuracy, which floors the outer "
+                    "Rayleigh-Ritz — BENCH_NOTES r5 phases B5/D1); "
+                    "chebyshev/jacobi kept for the A/B record")
     ap.add_argument("--serial", action="store_true",
                     help="column-serial inner solves (the round-4 path) "
                     "for the A/B against the batched default")
@@ -101,24 +111,36 @@ def main(argv=None):
     jax.block_until_ready(A.data)
     t_asm = time.perf_counter() - t0
 
-    # A/mL/bc enter the jitted program as ARGUMENTS, never by closure —
-    # a captured ELLMatrix is baked into the lowered HLO as constants
-    # (~100s of MB at this scale, minutes of lowering; BENCH_NOTES r4)
+    # A/mL/bc (and the AMG hierarchy — a registered pytree) enter the
+    # jitted program as ARGUMENTS, never by closure — a captured operator
+    # is baked into the lowered HLO as constants (~100s of MB at this
+    # scale, minutes of lowering; BENCH_NOTES r4).
     # Gershgorin lmax on the CONCRETE matrix (a host float closes over the
     # jit safely; device arrays must enter as arguments instead)
-    if args.inner_precond == "chebyshev":
+    inner = args.inner
+    hier, t_psetup, setup_walls = None, 0.0, {}
+    if args.inner_precond == "amg":
+        from tpufem.solve.amg import build_amg
+        inner = 20 if inner is None else inner
+        t0 = time.perf_counter()
+        hier = build_amg(A, strength=0.08, walls_out=setup_walls)
+        t_psetup = time.perf_counter() - t0
+    elif args.inner_precond == "chebyshev":
         from tpufem.solve.precond import chebyshev, lambda_max_bound
         lmax = float(lambda_max_bound(A))
+    inner = 60 if inner is None else inner
 
-    def run_fn(A, mL, bc):
-        if args.inner_precond == "chebyshev":
+    def run_fn(A, mL, bc, hier):
+        if args.inner_precond == "amg":
+            M1, Mq = hier.apply, hier.apply_multi
+        elif args.inner_precond == "chebyshev":
             M1 = chebyshev(A.matvec, A.diagonal(), degree=10, lmax=lmax)
             Mq = chebyshev(A.matvec_multi, A.diagonal(), degree=10,
                            lmax=lmax)
         else:
             M1, Mq = jacobi(A), None
         kw = dict(lumped_mass=mL, M=M1, bc_mask=bc,
-                  inner_iters=args.inner, outer_iters=args.outer,
+                  inner_iters=inner, outer_iters=args.outer,
                   buffer=args.buffer, dtype=ec.dtype)
         if not args.serial:
             kw["matvec_multi"] = A.matvec_multi
@@ -127,11 +149,11 @@ def main(argv=None):
 
     run = jax.jit(run_fn)
     t0 = time.perf_counter()
-    res = run(A, mL, bc)
+    res = run(A, mL, bc, hier)
     jax.block_until_ready(res.eigenvalues)
     t_wall = time.perf_counter() - t0
     t0 = time.perf_counter()
-    res = run(A, mL, bc)
+    res = run(A, mL, bc, hier)
     jax.block_until_ready(res.eigenvalues)
     t_solve = time.perf_counter() - t0
 
@@ -145,7 +167,8 @@ def main(argv=None):
         "dofs": nn,
         "k": args.k,
         "mode": "serial" if args.serial else "batched",
-        "inner_iters": args.inner,
+        "inner_precond": args.inner_precond,
+        "inner_iters": inner,
         "outer_iters": args.outer,
         "eigenvalues": [round(float(v), 8) for v in lam],
         "exact": [round(float(v), 8) for v in exact],
@@ -154,11 +177,16 @@ def main(argv=None):
         "solve_ms": round(t_solve * 1e3, 2),
         "walls_s": {"host": round(t_host, 2),
                     "assemble": round(t_asm, 2),
+                    "precond_setup": round(t_psetup, 2),
+                    "precond_setup_detail": {
+                        k: round(v, 2) for k, v in setup_walls.items()},
                     "solve_compile": round(t_wall, 2)},
     }
     print(json.dumps(out))
-    # O(h^2) discretization + fp32 floor: fail loudly if modes are wrong
-    if lam_err > 5e-3 + 40.0 / (n * n):
+    # O(h^2) discretization + fp32 floor: fail loudly if modes are wrong.
+    # Written as `not (ok)` so a NaN eigenvalue FAILS (NaN > x is False —
+    # the naive comparison silently passed an all-NaN run).
+    if not (lam_err <= 5e-3 + 40.0 / (n * n)):
         raise SystemExit(1)
 
 

@@ -120,3 +120,31 @@ def test_batched_eigen_matches_serial():
     rs = float(np.max(np.asarray(ser.residual_norms)))
     rb = float(np.max(np.asarray(bat.residual_norms)))
     assert rb < max(10.0 * rs, 1e-8), (rb, rs)
+
+
+def test_amg_inner_preconditioner():
+    """AMG V-cycle as the inner-CG preconditioner (the at-scale default:
+    Jacobi left 17% and Chebyshev 6.6% eigenvalue error at 491k DOFs —
+    the fixed inner budget bottoms out at ~6e-2 solve accuracy as
+    cond(A)~1/h^2 grows, which floors the outer Rayleigh-Ritz; an AMG
+    inner solve stays mesh-independently accurate).  Both the batched
+    (apply_multi) and serial (apply) arms must converge — the serial arm
+    also pins the cg_fixed 0/0 guard: a strong preconditioner converges
+    the chain INSIDE the fixed budget, and unguarded alpha = rz/pAp then
+    NaN-poisons every eigenpair."""
+    from tpufem.solve.amg import build_amg
+    mesh, A, mL, bc = _system(48)
+    hier = build_amg(A, coarse_n=100, strength=0.08)
+    exact = _analytic(5)
+    for kw in (dict(matvec_multi=A.matvec_multi,
+                    M_multi=hier.apply_multi),
+               dict()):
+        res = smallest_eigenpairs(A.matvec, mesh.num_nodes, 5,
+                                  lumped_mass=mL, M=hier.apply,
+                                  bc_mask=bc, inner_iters=20,
+                                  outer_iters=25, **kw)
+        lam = np.asarray(res.eigenvalues)
+        assert np.isfinite(lam).all(), lam
+        rel = np.abs(lam - exact) / exact
+        assert rel.max() < 5e-3, (lam, exact)
+        assert np.asarray(res.residual_norms).max() < 1e-5

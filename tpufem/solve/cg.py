@@ -146,6 +146,13 @@ def cg_fixed(matvec: Callable, b, iters, *, M: Optional[Callable] = None,
     optional fused ``r -> (M^-1 r, <r, M^-1 r>)`` (e.g. a V-cycle with
     final_dot=True).
 
+    Early exact convergence is safe: rz -> 0 would 0/0 the step (observed
+    as NaN eigenpairs when a strong AMG inner preconditioner converged the
+    solve inside the fixed budget), so alpha/beta are guarded to 0 there —
+    the iterate then freezes, exactly what a converged chain should do.
+    The guard is two scalar selects per iteration, invisible next to the
+    matvec.
+
     Returns ``(x, r)``: the iterate and its (unpreconditioned) residual.
     """
     if M is None:
@@ -158,6 +165,11 @@ def cg_fixed(matvec: Callable, b, iters, *, M: Optional[Callable] = None,
         def M_dot(r):
             z = M(r)
             return z, jnp.vdot(r, z)
+
+    def safe_div(num, den):
+        ok = den != 0
+        return jnp.where(ok, num / jnp.where(ok, den, 1.0), 0.0)
+
     x0 = jnp.zeros_like(b) if x0 is None else x0
     r0 = b - matvec(x0)
     z0, rz0 = M_dot(r0)
@@ -165,11 +177,11 @@ def cg_fixed(matvec: Callable, b, iters, *, M: Optional[Callable] = None,
     def body(i, state):
         x, r, z, p, rz = state
         Ap, pAp = matvec_dot(p)
-        alpha = rz / pAp
+        alpha = safe_div(rz, pAp)
         x = x + alpha * p
         r = r - alpha * Ap
         z, rz_new = M_dot(r)
-        p = z + (rz_new / rz) * p
+        p = z + safe_div(rz_new, rz) * p
         return (x, r, z, p, rz_new)
 
     x, r, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, z0, rz0))

@@ -12,6 +12,13 @@ rotates the block onto the Ritz vectors of the small projected pencil.
 Everything is dense-small (q x q eigh on the MXU) or a matvec/solve —
 one compiled XLA program, no host round-trips.
 
+The inner preconditioner must be mesh-robust at scale: the outer
+accuracy floors at the inner-solve accuracy, and a fixed inner budget
+with Jacobi/Chebyshev degrades as cond(A) ~ 1/h^2 grows (measured 17% /
+6.6% eigenvalue error at 491k DOFs) — pass an AMG V-cycle
+(``AMGHierarchy.apply`` / ``apply_multi``) as ``M`` / ``M_multi``, which
+keeps ~20 inner iterations accurate to the fp32 floor at any size.
+
 Why not LOBPCG-on-the-inverse: jax's ``lobpcg_standard`` finds TOP
 eigenpairs of a LINEAR operator, but a fixed-iteration CG "inverse" is
 rhs-adaptive (CG's polynomial depends on the right-hand side), which
