@@ -74,11 +74,23 @@ def main(argv=None):
                     help="column-serial inner solves (the round-4 path) "
                     "for the A/B against the batched default")
     ap.add_argument("--jitter", type=float, default=0.25)
+    ap.add_argument("--no-mixed", action="store_true",
+                    help="disable mixed precision (pure fp32): the "
+                    "fp32 SpMV floor eps32*cond(A) ~ 1/h^2 makes the "
+                    "eigenvalues WRONG past ~100k DOFs regardless of "
+                    "inner solver (+0.14 uniform inflation, O(1) "
+                    "residuals at 491k — BENCH_NOTES r5 phase E3); "
+                    "kept for the A/B record")
     ap.add_argument("--interpret", action="store_true",
                     help="CPU smoke test (timings meaningless)")
     args = ap.parse_args(argv)
     if args.interpret:
         jax.config.update("jax_platforms", "cpu")
+    mixed = not args.no_mixed
+    if mixed:
+        # fp64 residual/Gram accumulation (XLA emulates f64 on TPU);
+        # the inner solves stay on the fp32 Pallas path
+        jax.config.update("jax_enable_x64", True)
     n = args.n
 
     from examples.unstructured_1m import rcm_renumber
@@ -95,7 +107,11 @@ def main(argv=None):
 
     element = P1Triangle()
     rule = triangle_rule(5)
-    ec = jnp.asarray(mesh.element_coords(), jnp.float32)
+    # mixed: assemble ONCE in fp64 (XLA-emulated on TPU, one-time) so the
+    # fp64 residual operator is the exact discretization, then cast down
+    # for the fp32 Pallas fast path — same split as solve.refine
+    asm_dtype = jnp.float64 if mixed else jnp.float32
+    ec = jnp.asarray(mesh.element_coords(), asm_dtype)
     conn = jnp.asarray(mesh.conn)
     bc = jnp.asarray(mesh.node_flags != 0)
 
@@ -107,6 +123,13 @@ def main(argv=None):
     # constrained rows carry A=I; give them unit mass so they sit at
     # lambda=1, far above the smallest interior modes (~pi^2/18)
     mL = jnp.where(bc, 1.0, mL)
+    if mixed:
+        from tpufem.sparse.ell import ELLMatrix
+        data64 = A.data
+        A = ELLMatrix(A.data.astype(jnp.float32), A.cols,
+                      A.row_lengths, A.diag_pos)
+    else:
+        data64 = None
     A.resolve_band()
     jax.block_until_ready(A.data)
     t_asm = time.perf_counter() - t0
@@ -130,7 +153,7 @@ def main(argv=None):
         lmax = float(lambda_max_bound(A))
     inner = 60 if inner is None else inner
 
-    def run_fn(A, mL, bc, hier):
+    def run_fn(A, mL, bc, hier, data64):
         if args.inner_precond == "amg":
             M1, Mq = hier.apply, hier.apply_multi
         elif args.inner_precond == "chebyshev":
@@ -141,19 +164,23 @@ def main(argv=None):
             M1, Mq = jacobi(A), None
         kw = dict(lumped_mass=mL, M=M1, bc_mask=bc,
                   inner_iters=inner, outer_iters=args.outer,
-                  buffer=args.buffer, dtype=ec.dtype)
+                  buffer=args.buffer, dtype=jnp.float32)
         if not args.serial:
             kw["matvec_multi"] = A.matvec_multi
             kw["M_multi"] = Mq
+        if data64 is not None:
+            from tpufem.sparse.ell import ell_matvec_multi
+            kw["matvec_hi_multi"] = (
+                lambda X: ell_matvec_multi(data64, A.cols, X))
         return smallest_eigenpairs(A.matvec, nn, args.k, **kw)
 
     run = jax.jit(run_fn)
     t0 = time.perf_counter()
-    res = run(A, mL, bc, hier)
+    res = run(A, mL, bc, hier, data64)
     jax.block_until_ready(res.eigenvalues)
     t_wall = time.perf_counter() - t0
     t0 = time.perf_counter()
-    res = run(A, mL, bc, hier)
+    res = run(A, mL, bc, hier, data64)
     jax.block_until_ready(res.eigenvalues)
     t_solve = time.perf_counter() - t0
 
@@ -167,6 +194,7 @@ def main(argv=None):
         "dofs": nn,
         "k": args.k,
         "mode": "serial" if args.serial else "batched",
+        "precision": "mixed" if mixed else "fp32",
         "inner_precond": args.inner_precond,
         "inner_iters": inner,
         "outer_iters": args.outer,

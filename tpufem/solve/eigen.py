@@ -12,12 +12,21 @@ rotates the block onto the Ritz vectors of the small projected pencil.
 Everything is dense-small (q x q eigh on the MXU) or a matvec/solve —
 one compiled XLA program, no host round-trips.
 
-The inner preconditioner must be mesh-robust at scale: the outer
-accuracy floors at the inner-solve accuracy, and a fixed inner budget
-with Jacobi/Chebyshev degrades as cond(A) ~ 1/h^2 grows (measured 17% /
-6.6% eigenvalue error at 491k DOFs) — pass an AMG V-cycle
-(``AMGHierarchy.apply`` / ``apply_multi``) as ``M`` / ``M_multi``, which
-keeps ~20 inner iterations accurate to the fp32 floor at any size.
+Two things must be mesh-robust at scale, and both floor the outer
+Rayleigh-Ritz accuracy:
+
+1. the INNER SOLVE — a fixed inner budget with Jacobi/Chebyshev
+   degrades as cond(A) ~ 1/h^2 grows (measured 17% / 6.6% eigenvalue
+   error at 491k DOFs); pass an AMG V-cycle (``AMGHierarchy.apply`` /
+   ``apply_multi``) as ``M`` / ``M_multi``;
+2. the ARITHMETIC — the fp32 SpMV floor is eps32 * cond(A) because A
+   has O(1) entries while A u = O(h^2) u for smooth eigenvectors (a
+   4-orders-of-magnitude cancellation at 500k DOFs), so past ~100k DOFs
+   fp32 eigenvalues are wrong no matter the solver (measured: +0.14
+   uniform inflation, O(1) residuals — identical under Chebyshev and
+   AMG inners); pass ``matvec_hi_multi`` (an fp64 gather SpMV) to run
+   MIXED PRECISION: fp64 subspace/Gram/residuals, fp32 Pallas inner
+   solves wrapped in iterative refinement (same design as solve.refine).
 
 Why not LOBPCG-on-the-inverse: jax's ``lobpcg_standard`` finds TOP
 eigenpairs of a LINEAR operator, but a fixed-iteration CG "inverse" is
@@ -53,7 +62,9 @@ def smallest_eigenpairs(matvec: Callable, n: int, k: int, *,
                         outer_iters: int = 30, buffer: int = 3,
                         dtype=jnp.float64, seed: int = 0,
                         matvec_multi: Optional[Callable] = None,
-                        M_multi: Optional[Callable] = None) -> EigenResult:
+                        M_multi: Optional[Callable] = None,
+                        matvec_hi_multi: Optional[Callable] = None,
+                        refine_steps: int = 3) -> EigenResult:
     """k smallest eigenpairs of ``A u = lambda M_L u``.
 
     matvec:      x -> A x (SPD; BC rows identity-like).
@@ -74,11 +85,39 @@ def smallest_eigenpairs(matvec: Callable, n: int, k: int, *,
     Without matvec_multi the column-serial fallback is used.
     ``dtype`` follows jax's x64 setting: with x64 off everything
     runs (correctly, eps-scaled) in float32 and the achievable residual
-    floor is ~1e-6.
+    floor is ~eps32 * cond(A) — fine at small n, but cond(A) ~ 1/h^2, so
+    by ~500k DOFs the floor is O(1e-2) and the eigenvalues are WRONG
+    regardless of inner solver (measured: +0.14 uniform eigenvalue
+    inflation and O(1) residuals at 491k DOFs).  The cancellation lives
+    in the SpMV itself: A has O(1) entries but A u = O(h^2) u for smooth
+    eigenvectors, so fp32 matvec roundoff injects high-frequency noise
+    4 orders of magnitude above the signal.
+
+    matvec_hi_multi: optional X [n, q] -> A X evaluated in FLOAT64 (the
+    XLA gather path on float64-cast ELL data — Mosaic has no f64, but
+    XLA emulates it; a couple of these per outer step is a rounding
+    error next to the inner CG work).  When given, the solver runs in
+    MIXED PRECISION — the TPU-native answer to the fp32 floor, same
+    design as solve.refine: the subspace, Gram matrices, and residuals
+    live in fp64; each inverse application is ``refine_steps`` rounds of
+    iterative refinement whose inner solves are the fast fp32 Pallas
+    CG/AMG path.  Each round multiplies the error by the fp32 floor
+    (~eps32 * cond), so 3 rounds reach ~1e-7 eigenvector accuracy at
+    500k DOFs.  Requires jax_enable_x64.  The q x q Ritz decompositions
+    stay in fp32 (TPU eigh has no f64) — harmless, since the Gram
+    entries are O(lambda) with no cancellation.
     """
     q = k + buffer
-    mL = (jnp.ones(n, dtype) if lumped_mass is None
-          else jnp.asarray(lumped_mass, dtype))
+    mixed = matvec_hi_multi is not None
+    if mixed and not jax.config.read("jax_enable_x64"):
+        raise RuntimeError(
+            "mixed-precision eigen (matvec_hi_multi) needs fp64 "
+            "accumulation: call jax.config.update('jax_enable_x64', "
+            "True) before tracing")
+    work = jnp.float64 if mixed else dtype
+    dec = jnp.float32 if mixed else dtype   # q x q decompositions
+    mL = (jnp.ones(n, work) if lumped_mass is None
+          else jnp.asarray(lumped_mass, work))
     if bc_mask is not None:
         bcm = jnp.asarray(bc_mask)
         projB = lambda V: jnp.where(bcm[:, None], 0.0, V)
@@ -104,34 +143,60 @@ def smallest_eigenpairs(matvec: Callable, n: int, k: int, *,
                     for j in range(X.shape[1])]
             return jnp.stack(cols, axis=1)
 
+    if mixed:
+        amv_work = matvec_hi_multi
+
+        def ainv_work(B):
+            """A^-1 B by iterative refinement: fp32 inner solves, fp64
+            residuals/accumulation.  Each column is rescaled to O(1)
+            before the fp32 solve so it never under/overflows as the
+            residual shrinks toward eps64 * ||B||."""
+            def solve32(R):
+                s = jnp.max(jnp.abs(R), axis=0)
+                s = jnp.where(s > 0, s, 1.0)
+                D = ainv_block((R / s).astype(jnp.float32))
+                return s * D.astype(work)
+
+            Y = solve32(B)
+            for _ in range(refine_steps - 1):
+                Y = Y + solve32(B - matvec_hi_multi(Y))
+            return Y
+    else:
+        amv_work, ainv_work = amv_block, ainv_block
+
     def ritz(Y):
-        """Rayleigh-Ritz on span(Y) for the pencil (A, diag(mL))."""
-        AY = amv_block(Y)
-        Ah = Y.T @ AY
-        Mh = Y.T @ (mL[:, None] * Y)
-        eps = jnp.finfo(Ah.dtype).eps     # dtype-robust: the requested
+        """Rayleigh-Ritz on span(Y) for the pencil (A, diag(mL)).
+        Gram matrices accumulate in the working dtype (fp64 when mixed);
+        the q x q decompositions run in ``dec`` — their entries are
+        O(lambda) with no cancellation, so fp32 costs ~eps32 RELATIVE
+        eigenvalue error, unlike the length-n reductions."""
+        AY = amv_work(Y)
+        Ah = (Y.T @ AY).astype(dec)
+        Mh = (Y.T @ (mL[:, None] * Y)).astype(dec)
+        eps = jnp.finfo(dec).eps          # dtype-robust: the requested
         # float64 silently demotes to float32 when x64 is off, and a
         # fixed 1e-14 shift would then be below machine precision
         L = jnp.linalg.cholesky(
             0.5 * (Mh + Mh.T)
-            + 100.0 * eps * jnp.trace(Mh) * jnp.eye(q, dtype=Ah.dtype))
+            + 100.0 * eps * jnp.trace(Mh) * jnp.eye(q, dtype=dec))
         Li = jax.scipy.linalg.solve_triangular(
-            L, jnp.eye(q, dtype=dtype), lower=True)
+            L, jnp.eye(q, dtype=dec), lower=True)
         w, V = jnp.linalg.eigh(Li @ (0.5 * (Ah + Ah.T)) @ Li.T)
-        return w, Y @ (Li.T @ V)          # ascending; M_L-orthonormal
+        return (w.astype(work),           # ascending; M_L-orthonormal
+                Y @ (Li.T @ V).astype(work))
 
     rng = jax.random.PRNGKey(seed)
-    X = projB(jax.random.normal(rng, (n, q), dtype))
+    X = projB(jax.random.normal(rng, (n, q), work))
 
     def body(i, X):
-        Y = projB(ainv_block(mL[:, None] * X))
+        Y = projB(ainv_work(mL[:, None] * X))
         _, U = ritz(Y)
         return U
 
     X = jax.lax.fori_loop(0, outer_iters, body, X)
     lam, U = ritz(X)
     lam, U = lam[:k], U[:, :k]
-    AU = amv_block(U)
+    AU = amv_work(U)
     res = jnp.stack([
         jnp.linalg.norm(AU[:, j] - lam[j] * mL * U[:, j])
         / jnp.maximum(jnp.linalg.norm(AU[:, j]),
