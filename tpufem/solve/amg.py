@@ -123,6 +123,36 @@ def greedy_aggregate(cols: np.ndarray, *, use_native: bool = True):
     return _renumber_by_first(agg, na, n)
 
 
+def merge_isolated_singletons(agg, nc, iso, group: int = 64):
+    """Group decoupled singleton rows into positional aggregates.
+
+    Symmetric Dirichlet elimination leaves constrained rows with NO
+    off-diagonal coupling; greedy aggregation then makes each a pass-2
+    singleton at EVERY level, so the ~4*sqrt(n) boundary rows of a 2D
+    mesh never coarsen and eventually dominate the hierarchy (measured:
+    the 491k-DOF scalar coarsest was 2833 rows of which 2800 were the
+    boundary; the 982k-DOF block coarsest 10506 blocks / 319 s dense
+    factorization — BENCH_NOTES r5 phases E1/E3).  Isolated rows carry
+    no coupling at all, so ANY grouping is spectrally exact: coarse
+    entries between group members are zero and the group's Galerkin
+    diagonal stays identity-like.  Groups follow the (RCM) row order,
+    keeping the coarse numbering band-preserving.
+
+    ``iso``: bool [n], rows with no nonzero off-diagonal entry.
+    Returns the (compacted, renumbered-by-first) ``(agg, n_agg)``.
+    """
+    nloc = agg.shape[0]
+    sizes = np.bincount(agg, minlength=nc)
+    idx = np.nonzero(iso & (sizes[agg] == 1))[0]
+    if idx.size < 2:
+        return agg, nc
+    agg = np.asarray(agg).copy()
+    gid = np.arange(idx.size, dtype=np.int64) // int(group)
+    agg[idx] = agg[idx[gid * int(group)]]    # group takes 1st member's id
+    uniq, agg = np.unique(agg, return_inverse=True)
+    return _renumber_by_first(agg.astype(np.int64), uniq.size, nloc)
+
+
 def sym_dense_inv(dense: np.ndarray) -> np.ndarray:
     """Inverse (or pseudo-inverse) of a dense symmetric matrix, on host.
 
@@ -681,15 +711,27 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
                     keep, cols,
                     np.arange(n, dtype=cols.dtype)[:, None]).astype(np.int32)
             agg, nc = greedy_aggregate(agg_cols)
-            if nc >= 0.7 * n and strength > 0.0:
-                # coarsening stalled: strength filtering can disconnect a
-                # coarse graph into near-singletons while the FULL graph
-                # still coarsens.  Retry unfiltered — trading smoothing
-                # quality on this deep level for a much smaller dense
-                # coarsest (the eigh/Cholesky cost there is O(n^3)).
+            if 2 * nc > n and strength > 0.0:
+                # coarsening DEGRADED (ratio < 2): deep Galerkin levels
+                # densify (K grows ~3x per level under smoothed P), the
+                # strength filter then leaves a near-empty graph and
+                # aggregation limps by ~1.9x per level into a huge dense
+                # coarsest — measured: 2960 -> 1582 blocks at K=128 on
+                # the elasticity path, 319 s coarse factorization at
+                # 982k DOFs (BENCH_NOTES r5 phase E1).  Retry on the
+                # FULL graph — on a dense level unfiltered Vanek gives
+                # ratio ~K, and weak-edge merging only costs smoothing
+                # quality on a level that carries ~no work.  Healthy
+                # filtered levels (ratio 3-9, incl. anisotropic string
+                # aggregates at ~3) never trigger this.
                 agg2, nc2 = greedy_aggregate(cols)
-                if nc2 < 0.7 * n:
+                if nc2 < nc:
                     agg, nc = agg2, nc2
+            # decoupled rows (symmetric Dirichlet elimination) are
+            # permanent singletons — group them so they coarsen too
+            iso = ~(((cols != np.arange(n, dtype=cols.dtype)[:, None])
+                     & (data != 0)).any(axis=1))
+            agg, nc = merge_isolated_singletons(agg, nc, iso)
             if nc >= 0.7 * n:
                 # still stalled: stop here and let the dense coarsest
                 # solve take the remainder — more levels would add setup +

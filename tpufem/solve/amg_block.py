@@ -54,7 +54,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tpufem.solve.amg import _cheb_coeffs, greedy_aggregate, sym_dense_inv
+from tpufem.solve.amg import (_cheb_coeffs, greedy_aggregate,
+                              merge_isolated_singletons, sym_dense_inv)
 from tpufem.sparse.bcsr import BCSRMatrix
 
 __all__ = ["BlockAMGLevel", "BlockAMGHierarchy", "build_block_amg",
@@ -490,16 +491,25 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
                             np.arange(ns, dtype=cols.dtype)[:, None]
                             ).astype(np.int32)
         agg, nc = greedy_aggregate(agg_cols)
-        if nc >= 0.7 * ns:
-            # coarsening stalled under the strength filter: retry on the
-            # FULL block graph — weak-edge aggregation on a deep level
-            # costs smoothing quality but keeps the dense coarsest small
-            # (its factorization is O((ns*b)^3): the 982k-DOF run that
-            # stalled at ~11.5k scalar rows paid 394 s there,
-            # BENCH_NOTES r5 phase C1)
+        if 2 * nc > ns:
+            # coarsening DEGRADED (ratio < 2): deep Galerkin levels
+            # densify (K: 8 -> 32 -> 128 on the 2D elasticity path), the
+            # strength filter then leaves a near-empty graph and
+            # aggregation limps ~1.9x per level into a huge dense
+            # coarsest — measured 10506 coarse blocks / 319 s coarse
+            # factorization at 982k DOFs (BENCH_NOTES r5 phase E1).
+            # Retry on the FULL block graph: on a dense level unfiltered
+            # Vanek gives ratio ~K, and weak-edge merging only costs
+            # smoothing quality on a level that carries ~no work.
+            # Healthy filtered levels (ratio 3-9) never trigger this.
             agg2, nc2 = greedy_aggregate(cols)
-            if nc2 < 0.7 * ns:
+            if nc2 < nc:
                 agg, nc = agg2, nc2
+        # decoupled block rows (symmetric Dirichlet elimination) are
+        # permanent singletons — group them so they coarsen too
+        iso = ~(((cols != np.arange(ns, dtype=cols.dtype)[:, None])
+                 & (data != 0).any(axis=(2, 3))).any(axis=1))
+        agg, nc = merge_isolated_singletons(agg, nc, iso)
         t0 = _tick("aggregate", t0)
         if nc >= 0.7 * ns:
             # still stalled: dense-coarsest fallback — but guard its
