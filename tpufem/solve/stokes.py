@@ -230,10 +230,11 @@ def build_velocity_amg(mesh: Mesh, V: FunctionSpace, *,
     """
     import time
 
-    from tpufem.assemble.ell import assemble_ell
+    from tpufem.assemble.ell import ell_values_scatter
     from tpufem.mesh.adjacency import ell_pattern, reverse_cuthill_mckee
     from tpufem.solve.amg import build_amg
     from tpufem.solve.bc import apply_dirichlet_ell
+    from tpufem.sparse.ell import ELLMatrix
 
     t0 = time.perf_counter()
     Vs = FunctionSpace(mesh, degree=V.element.degree)   # scalar twin:
@@ -242,7 +243,6 @@ def build_velocity_amg(mesh: Mesh, V: FunctionSpace, *,
     wf.build(lambda u, v: float(viscosity) * inner(grad(u), grad(v)))
     wf.dtype = dtype
     ec = jnp.asarray(mesh.element_coords(), dtype)
-    Ke_s = wf.element_matrices(ec)                      # [NE, nls, nls]
 
     cols0 = ell_pattern(Vs.scalar_dof_conn, Vs.num_scalar_dofs,
                         with_sort_plan=False).cols
@@ -251,10 +251,27 @@ def build_velocity_amg(mesh: Mesh, V: FunctionSpace, *,
     inv[perm] = np.arange(perm.size, dtype=perm.dtype)
     conn_p = inv[Vs.scalar_dof_conn].astype(Vs.scalar_dof_conn.dtype)
     pat = ell_pattern(conn_p, Vs.num_scalar_dofs, pad_to=8)
-    A_s = assemble_ell(pat, Ke_s)
+    nrows, width = pat.cols.shape
+
+    # element matrices -> ELL scatter -> Dirichlet rows, as ONE jitted
+    # program with the scatter plan as arguments: the former eager
+    # op-by-op chain cost 153.5 s at 131k scalar P2 rows over the device
+    # relay (BENCH_NOTES r5 phase E2) — the same round-trip disease the
+    # elasticity build fixed in round 5 (227-241 s -> one compile)
+    def scalar_build(ec, slots, cols, diag_pos, flags):
+        Ke_s = wf.element_matrices(ec)                  # [NE, nls, nls]
+        data = ell_values_scatter(slots, Ke_s, nrows, width)
+        A = ELLMatrix(data, cols, diag_pos=diag_pos)
+        A2, _ = apply_dirichlet_ell(A, jnp.zeros(nrows, ec.dtype), flags)
+        return A2.data
+
     flags_p = jnp.asarray(Vs.scalar_dof_flags[perm])
-    A_s, _ = apply_dirichlet_ell(
-        A_s, jnp.zeros(Vs.num_scalar_dofs, dtype), flags_p)
+    data = jax.jit(scalar_build)(ec, jnp.asarray(pat.slots.reshape(-1)),
+                                 jnp.asarray(pat.cols),
+                                 jnp.asarray(pat.diag_pos), flags_p)
+    A_s = ELLMatrix(jax.block_until_ready(data), jnp.asarray(pat.cols),
+                    row_lengths=jnp.asarray(pat.row_lengths),
+                    diag_pos=jnp.asarray(pat.diag_pos))
     A_s.resolve_band()
     if walls_out is not None:
         walls_out["scalar_system"] = time.perf_counter() - t0
