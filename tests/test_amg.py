@@ -245,3 +245,31 @@ def test_apply_multi_matches_columnwise():
         ap = jax.jit(hier.apply)
         Zc = np.stack([np.asarray(ap(R[:, j])) for j in range(5)], axis=1)
         assert np.abs(Zm - Zc).max() < 1e-5 * np.abs(Zc).max() + 1e-7, kw
+
+
+def test_boundary_singletons_merge_and_stay_banded():
+    """Dirichlet rows are decoupled singletons under greedy aggregation
+    and must (a) be merged so the hierarchy's coarsest stays small
+    (pre-fix: the 491k-DOF coarsest was 2833 rows of which 2800 were
+    boundary — BENCH_NOTES r5 phase E3), and (b) be merged SPAN-CAPPED:
+    boundary rows are ~bandwidth-spaced along the RCM order, so an
+    unbounded group makes the embedded restriction's bandwidth explode
+    (hardware: single-block kernels + 147 MB of register spills at 491k
+    rows, phase F2)."""
+    _, A, _, _ = _system(64)
+    n = A.shape[0]
+    cols0 = np.asarray(A.cols)
+    bw0 = int(np.abs(cols0.astype(np.int64) - np.arange(n)[:, None]).max())
+    hier = build_amg(A, coarse_n=60, strength=0.08)
+    # boundary rows: 4*64 = 256; without the merge the coarsest cannot
+    # go below them, with it the hierarchy must coarsen past them
+    assert hier.coarse_inv.shape[0] < 200, hier.coarse_inv.shape
+    for lv in hier.levels:
+        for Q in (lv.Qp, lv.Qr):
+            if Q is None:
+                continue
+            qc = np.asarray(Q.cols)
+            nn = qc.shape[0]
+            qbw = int(np.abs(qc.astype(np.int64)
+                             - np.arange(nn)[:, None]).max())
+            assert qbw <= max(4 * bw0, 4096), (nn, qbw, bw0)

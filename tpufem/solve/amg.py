@@ -123,7 +123,8 @@ def greedy_aggregate(cols: np.ndarray, *, use_native: bool = True):
     return _renumber_by_first(agg, na, n)
 
 
-def merge_isolated_singletons(agg, nc, iso, group: int = 64):
+def merge_isolated_singletons(agg, nc, iso, group: int = 16,
+                              span: Optional[int] = None):
     """Group decoupled singleton rows into positional aggregates.
 
     Symmetric Dirichlet elimination leaves constrained rows with NO
@@ -135,8 +136,16 @@ def merge_isolated_singletons(agg, nc, iso, group: int = 64):
     factorization — BENCH_NOTES r5 phases E1/E3).  Isolated rows carry
     no coupling at all, so ANY grouping is spectrally exact: coarse
     entries between group members are zero and the group's Galerkin
-    diagonal stays identity-like.  Groups follow the (RCM) row order,
-    keeping the coarse numbering band-preserving.
+    diagonal stays identity-like.
+
+    Groups follow the (RCM) row order AND are span-capped: boundary
+    rows are ~bandwidth-spaced along an RCM order, so an unbounded
+    group would stretch over group*bw fine rows — the embedded
+    restriction Qr then carries the whole group in its first-member ROW
+    (K += group) with bandwidth = the group span, which blew the b=3
+    BCSR kernel's VMEM at 982k DOFs (94.5 MB window, hw r5 phase F1).
+    ``span`` bounds last-first within a group (callers pass ~2x the
+    level bandwidth); ``group`` bounds the member count (K growth).
 
     ``iso``: bool [n], rows with no nonzero off-diagonal entry.
     Returns the (compacted, renumbered-by-first) ``(agg, n_agg)``.
@@ -146,9 +155,17 @@ def merge_isolated_singletons(agg, nc, iso, group: int = 64):
     idx = np.nonzero(iso & (sizes[agg] == 1))[0]
     if idx.size < 2:
         return agg, nc
+    span = int(span) if span is not None else nloc
     agg = np.asarray(agg).copy()
-    gid = np.arange(idx.size, dtype=np.int64) // int(group)
-    agg[idx] = agg[idx[gid * int(group)]]    # group takes 1st member's id
+    gstart = idx[0]
+    count = 0
+    target = np.empty(idx.size, dtype=np.int64)
+    for t, i in enumerate(idx):
+        if count >= int(group) or i - gstart > span:
+            gstart, count = i, 0
+        target[t] = gstart
+        count += 1
+    agg[idx] = agg[target]                   # group takes 1st member's id
     uniq, agg = np.unique(agg, return_inverse=True)
     return _renumber_by_first(agg.astype(np.int64), uniq.size, nloc)
 
@@ -729,9 +746,14 @@ def build_amg(A: ELLMatrix, *, coarse_n: int = 1200, max_levels: int = 12,
                     agg, nc = agg2, nc2
             # decoupled rows (symmetric Dirichlet elimination) are
             # permanent singletons — group them so they coarsen too
+            # (span-capped at ~2x the level bandwidth so the embedded
+            # transfers stay banded)
             iso = ~(((cols != np.arange(n, dtype=cols.dtype)[:, None])
                      & (data != 0)).any(axis=1))
-            agg, nc = merge_isolated_singletons(agg, nc, iso)
+            bw = int(np.abs(cols.astype(np.int64)
+                            - np.arange(n, dtype=np.int64)[:, None]).max())
+            agg, nc = merge_isolated_singletons(
+                agg, nc, iso, span=max(2 * bw, 2048))
             if nc >= 0.7 * n:
                 # still stalled: stop here and let the dense coarsest
                 # solve take the remainder — more levels would add setup +

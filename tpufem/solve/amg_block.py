@@ -507,9 +507,14 @@ def build_block_amg(A: BCSRMatrix, *, B: Optional[np.ndarray] = None,
                 agg, nc = agg2, nc2
         # decoupled block rows (symmetric Dirichlet elimination) are
         # permanent singletons — group them so they coarsen too
+        # (span-capped at ~2x the level bandwidth so the embedded
+        # transfers stay banded)
         iso = ~(((cols != np.arange(ns, dtype=cols.dtype)[:, None])
                  & (data != 0).any(axis=(2, 3))).any(axis=1))
-        agg, nc = merge_isolated_singletons(agg, nc, iso)
+        bw = int(np.abs(cols.astype(np.int64)
+                        - np.arange(ns, dtype=np.int64)[:, None]).max())
+        agg, nc = merge_isolated_singletons(
+            agg, nc, iso, span=max(2 * bw, 2048))
         t0 = _tick("aggregate", t0)
         if nc >= 0.7 * ns:
             # still stalled: dense-coarsest fallback — but guard its
