@@ -114,12 +114,12 @@ def main():
             eps = jnp.finfo(jnp.float32).eps
             L = jnp.linalg.cholesky(
                 0.5 * (Mh + Mh.T)
-                + 100.0 * eps * jnp.trace(Mh) * jnp.eye(q, jnp.float32))
+                + 100.0 * eps * jnp.trace(Mh) * jnp.eye(q, dtype=jnp.float32))
             Li = jax.scipy.linalg.solve_triangular(
-                L, jnp.eye(q, jnp.float32), lower=True)
+                L, jnp.eye(q, dtype=jnp.float32), lower=True)
             w, V = jnp.linalg.eigh(Li @ (0.5 * (Ah + Ah.T)) @ Li.T)
             return w, Y @ (Li.T @ V).astype(Y.dtype)
-        AY64 = ell_matvec_multi(data64, A.cols, X64)
+        AY64 = jax.jit(ell_matvec_multi)(data64, A.cols, X64)
         stage("E fp64 gram + fp32 ritz", ritz_tail, X64, AY64,
               mL.astype(jnp.float64))
     if "F" in args.stages:
