@@ -43,7 +43,6 @@ from tpufem.fem.quadrature import triangle_rule
 from tpufem.mesh.adjacency import ell_pattern
 from tpufem.mesh.rectangle import perturbed_rectangle_mesh
 from tpufem.solve.bc import apply_dirichlet_ell
-from tpufem.solve.eigen import smallest_eigenpairs
 from tpufem.solve.precond import jacobi
 
 
@@ -81,6 +80,16 @@ def main(argv=None):
                     "inner solver (+0.14 uniform inflation, O(1) "
                     "residuals at 491k — BENCH_NOTES r5 phase E3); "
                     "kept for the A/B record")
+    ap.add_argument("--outer-chunk", type=int, default=None,
+                    help="run the outer loop host-side, this many "
+                    "subspace steps per compiled execution (0 = one "
+                    "fused program; default 5 at >= 800k DOFs, else 0). "
+                    "One fused 25-step program at 1M DOFs is a "
+                    "minutes-long single device execution, which trips "
+                    "relay execution limits (UNAVAILABLE fault, "
+                    "BENCH_NOTES r5 phase F3) even though every "
+                    "ingredient passes individually; chunked steps stay "
+                    "seconds-long at O(ms) dispatch cost")
     ap.add_argument("--interpret", action="store_true",
                     help="CPU smoke test (timings meaningless)")
     args = ap.parse_args(argv)
@@ -153,7 +162,11 @@ def main(argv=None):
         lmax = float(lambda_max_bound(A))
     inner = 60 if inner is None else inner
 
-    def run_fn(A, mL, bc, hier, data64):
+    def make_kit(A, mL, bc, hier, data64):
+        """(X0, step, finish) with the operators closing over whatever
+        A/hier/... currently are — concrete pytrees when called eagerly,
+        tracer arguments inside a jit (which is what keeps the matrices
+        out of the lowered HLO)."""
         if args.inner_precond == "amg":
             M1, Mq = hier.apply, hier.apply_multi
         elif args.inner_precond == "chebyshev":
@@ -172,17 +185,61 @@ def main(argv=None):
             from tpufem.sparse.ell import ell_matvec_multi
             kw["matvec_hi_multi"] = (
                 lambda X: ell_matvec_multi(data64, A.cols, X))
-        return smallest_eigenpairs(A.matvec, nn, args.k, **kw)
+        from tpufem.solve.eigen import subspace_stepper
+        return subspace_stepper(A.matvec, nn, args.k, **kw)
 
-    run = jax.jit(run_fn)
-    t0 = time.perf_counter()
-    res = run(A, mL, bc, hier, data64)
-    jax.block_until_ready(res.eigenvalues)
-    t_wall = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    res = run(A, mL, bc, hier, data64)
-    jax.block_until_ready(res.eigenvalues)
-    t_solve = time.perf_counter() - t0
+    chunk = args.outer_chunk
+    if chunk is None:
+        chunk = 5 if nn >= 800_000 else 0
+
+    if chunk == 0:
+        def run_fn(A, mL, bc, hier, data64):
+            X0, step, finish = make_kit(A, mL, bc, hier, data64)
+            return finish(jax.lax.fori_loop(
+                0, args.outer, lambda i, X: step(X), X0))
+
+        run = jax.jit(run_fn)
+        t0 = time.perf_counter()
+        res = run(A, mL, bc, hier, data64)
+        jax.block_until_ready(res.eigenvalues)
+        t_wall = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = run(A, mL, bc, hier, data64)
+        jax.block_until_ready(res.eigenvalues)
+        t_solve = time.perf_counter() - t0
+    else:
+        # whole chunks only (a remainder program would be a second
+        # full compile); round the outer count up and report it
+        n_calls = -(-args.outer // chunk)
+        args.outer = n_calls * chunk
+
+        def step_c(A, mL, bc, hier, data64, X):
+            _, step, _ = make_kit(A, mL, bc, hier, data64)
+            return jax.lax.fori_loop(0, chunk, lambda i, Y: step(Y), X)
+
+        def finish_j(A, mL, bc, hier, data64, X):
+            _, _, finish = make_kit(A, mL, bc, hier, data64)
+            return finish(X)
+
+        step_j = jax.jit(step_c, donate_argnums=5)
+        fin_j = jax.jit(finish_j)
+        X0, _, _ = make_kit(A, mL, bc, hier, data64)   # eager init
+        jax.block_until_ready(X0)
+
+        def full_pass():
+            X = jnp.copy(X0)        # step_j donates its X argument
+            for _ in range(n_calls):
+                X = step_j(A, mL, bc, hier, data64, X)
+            res = fin_j(A, mL, bc, hier, data64, X)
+            jax.block_until_ready(res.eigenvalues)
+            return res
+
+        t0 = time.perf_counter()
+        res = full_pass()                               # compile + run
+        t_wall = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = full_pass()                               # warm, timed
+        t_solve = time.perf_counter() - t0
 
     lam = np.asarray(res.eigenvalues, np.float64)
     exact = np.array(sorted(np.pi ** 2 / 36 * (i * i + j * j)
@@ -194,6 +251,7 @@ def main(argv=None):
         "dofs": nn,
         "k": args.k,
         "mode": "serial" if args.serial else "batched",
+        "outer_chunk": chunk,
         "precision": "mixed" if mixed else "fp32",
         "inner_precond": args.inner_precond,
         "inner_iters": inner,

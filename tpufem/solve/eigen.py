@@ -46,7 +46,7 @@ import jax.numpy as jnp
 
 from tpufem.solve.cg import cg_fixed, cg_fixed_block
 
-__all__ = ["EigenResult", "smallest_eigenpairs"]
+__all__ = ["EigenResult", "smallest_eigenpairs", "subspace_stepper"]
 
 
 class EigenResult(NamedTuple):
@@ -106,6 +106,41 @@ def smallest_eigenpairs(matvec: Callable, n: int, k: int, *,
     500k DOFs.  Requires jax_enable_x64.  The q x q Ritz decompositions
     stay in fp32 (TPU eigh has no f64) — harmless, since the Gram
     entries are O(lambda) with no cancellation.
+    """
+    X0, body, finish = subspace_stepper(
+        matvec, n, k, lumped_mass=lumped_mass, M=M, bc_mask=bc_mask,
+        inner_iters=inner_iters, outer_iters=outer_iters, buffer=buffer,
+        dtype=dtype, seed=seed, matvec_multi=matvec_multi,
+        M_multi=M_multi, matvec_hi_multi=matvec_hi_multi,
+        refine_steps=refine_steps)
+    X = jax.lax.fori_loop(0, outer_iters, lambda i, X: body(X), X0)
+    return finish(X)
+
+
+def subspace_stepper(matvec: Callable, n: int, k: int, *,
+                     lumped_mass=None, M: Optional[Callable] = None,
+                     bc_mask=None, inner_iters: int = 40,
+                     outer_iters: int = 30, buffer: int = 3,
+                     dtype=jnp.float64, seed: int = 0,
+                     matvec_multi: Optional[Callable] = None,
+                     M_multi: Optional[Callable] = None,
+                     matvec_hi_multi: Optional[Callable] = None,
+                     refine_steps: int = 3):
+    """The subspace iteration as an ``(X0, step, finish)`` triple.
+
+    Same parameters and math as :func:`smallest_eigenpairs` (which is
+    exactly ``finish(fori_loop(step, X0))``), exposed so the OUTER loop
+    can run on the host: jit ``step``/``finish`` separately with the
+    operators passed as pytree arguments and loop in Python.  Use this
+    at large scale to bound single-execution device time — one fused
+    25-outer-step program at 1M DOFs runs minutes-long device
+    executions, which exceed infrastructure execution limits in relayed
+    environments (the modal-1M `UNAVAILABLE` fault, BENCH_NOTES r5
+    phase F3: every ingredient and a one-outer-step program pass
+    individually), while per-step executions stay seconds-long at an
+    O(ms) dispatch cost per step.  ``outer_iters`` here only stamps
+    ``EigenResult.iterations``; the caller decides how many times to
+    apply ``step``.
     """
     q = k + buffer
     mixed = matvec_hi_multi is not None
@@ -186,21 +221,23 @@ def smallest_eigenpairs(matvec: Callable, n: int, k: int, *,
                 Y @ (Li.T @ V).astype(work))
 
     rng = jax.random.PRNGKey(seed)
-    X = projB(jax.random.normal(rng, (n, q), work))
+    X0 = projB(jax.random.normal(rng, (n, q), work))
 
-    def body(i, X):
+    def step(X):
         Y = projB(ainv_work(mL[:, None] * X))
         _, U = ritz(Y)
         return U
 
-    X = jax.lax.fori_loop(0, outer_iters, body, X)
-    lam, U = ritz(X)
-    lam, U = lam[:k], U[:, :k]
-    AU = amv_work(U)
-    res = jnp.stack([
-        jnp.linalg.norm(AU[:, j] - lam[j] * mL * U[:, j])
-        / jnp.maximum(jnp.linalg.norm(AU[:, j]),
-                      jnp.finfo(AU.dtype).tiny)
-        for j in range(k)])
-    return EigenResult(eigenvalues=lam, eigenvectors=U,
-                       iterations=outer_iters, residual_norms=res)
+    def finish(X):
+        lam, U = ritz(X)
+        lam, U = lam[:k], U[:, :k]
+        AU = amv_work(U)
+        res = jnp.stack([
+            jnp.linalg.norm(AU[:, j] - lam[j] * mL * U[:, j])
+            / jnp.maximum(jnp.linalg.norm(AU[:, j]),
+                          jnp.finfo(AU.dtype).tiny)
+            for j in range(k)])
+        return EigenResult(eigenvalues=lam, eigenvectors=U,
+                           iterations=outer_iters, residual_norms=res)
+
+    return X0, step, finish
