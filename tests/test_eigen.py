@@ -190,3 +190,27 @@ def test_mixed_precision_matches_fp64():
                               dtype=jnp.float64)
     dl = np.abs(lam - np.asarray(ref.eigenvalues)).max()
     assert dl / exact.max() < 3e-4, dl
+
+
+def test_subspace_stepper_composition_matches_fused():
+    """subspace_stepper's (X0, step, finish) host-composed loop must
+    reproduce smallest_eigenpairs exactly — the contract behind the
+    modal example's chunked outer loop at scale (one fused multi-minute
+    device execution trips relay limits at 1M DOFs, BENCH_NOTES r5
+    phase F3/G2)."""
+    from tpufem.solve.eigen import subspace_stepper
+    mesh, A, mL, bc = _system(16)
+    kw = dict(lumped_mass=mL, M=jacobi(A), bc_mask=bc,
+              inner_iters=15, outer_iters=4, buffer=3)
+    fused = smallest_eigenpairs(A.matvec, mesh.num_nodes, 3, **kw)
+    X0, step, finish = subspace_stepper(A.matvec, mesh.num_nodes, 3, **kw)
+    X = X0
+    for _ in range(4):
+        X = step(X)
+    stepped = finish(X)
+    np.testing.assert_allclose(np.asarray(stepped.eigenvalues),
+                               np.asarray(fused.eigenvalues),
+                               rtol=1e-12, atol=0)
+    np.testing.assert_allclose(np.asarray(stepped.eigenvectors),
+                               np.asarray(fused.eigenvectors),
+                               rtol=0, atol=1e-12)
